@@ -1,0 +1,39 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware (bench runs on the real chip separately).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE = pathlib.Path("/root/reference")
+
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def skode_oracle():
+    """Path to the reference-parser transcript oracle, building if needed."""
+    exe = REPO / "golden" / "build" / "skode_oracle"
+    if not exe.exists():
+        if not REFERENCE.exists():
+            pytest.skip("reference not available to build oracle")
+        subprocess.run([str(REPO / "golden" / "build.sh")], check=True)
+    return exe
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not REFERENCE.exists():
+        pytest.skip("reference not available")
+    return REFERENCE
