@@ -45,7 +45,7 @@ int console_voice = 0;
 
 int rec_state = 0;
 long rec_ptr = 0;
-float rec_sec = 2.0f;
+float rec_sec = 30.0f;
 long rec_max = 0;
 float *recording = NULL;
 
@@ -101,7 +101,7 @@ int main(int argc, char **argv) {
   const char *out_path = NULL, *cap_path = NULL, *dump_path = NULL;
   const char *script = NULL;
   double seconds = 10.0;
-  int do_state_dump = 0;
+  int do_state_dump = 0, post_state_dump = 0;
   char *execs[64]; int nexec = 0;
 
   for (int i = 1; i < argc; i++) {
@@ -111,6 +111,7 @@ int main(int argc, char **argv) {
     else if (!strcmp(argv[i], "-W")) dump_path = argv[++i];
     else if (!strcmp(argv[i], "-e")) execs[nexec++] = argv[++i];
     else if (!strcmp(argv[i], "-S")) do_state_dump = 1;
+    else if (!strcmp(argv[i], "-R")) post_state_dump = 1;
     else script = argv[i];
   }
 
@@ -142,7 +143,7 @@ int main(int argc, char **argv) {
 
   if (do_state_dump) { state_dump(); }
 
-  if (!out_path && !cap_path) return 0;
+  if (!out_path && !cap_path && !post_state_dump) return 0;
 
   long total_frames = (long)(seconds * MAIN_SAMPLE_RATE);
   long blocks = (total_frames + SYNTH_FRAMES_PER_CALLBACK - 1) / SYNTH_FRAMES_PER_CALLBACK;
@@ -170,5 +171,9 @@ int main(int argc, char **argv) {
   }
   if (out) fclose(out);
   if (cap) fclose(cap);
+  if (post_state_dump) {
+    printf("SAMPLE_COUNT %llu\n", (unsigned long long)synth_sample_count);
+    state_dump();
+  }
   return 0;
 }

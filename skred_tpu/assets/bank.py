@@ -283,7 +283,14 @@ class WaveBank:
                 return
             scale = np.float32(1.0) / fbig
         out = np.clip(data * scale, np.float32(-1.0), np.float32(1.0)).astype(np.float32)
-        s.data = out
+        self.slots[n] = dataclasses.replace(s, data=out)
+
+    def fork(self) -> "WaveBank":
+        """Cheap independent copy: slot *objects* are immutable once built
+        (loads replace them), so a shallow slot-list copy suffices."""
+        b = WaveBank.__new__(WaveBank)
+        b.slots = list(self.slots)
+        return b
 
     # ---- packing for the device renderer ----
     def pack(self) -> "PackedBank":

@@ -1,0 +1,260 @@
+"""Event-timeline compiler.
+
+The reference mutates live engine state from REPL/UDP/sequencer threads
+while the audio callback renders (synth_callback, skred.c:107-152).  All
+*deterministic* control — the step sequencer (seq.c:164-213) and the
+deferred-event queue (seq.c:171-177, wire.c:869-892) — is quantized to
+callback boundaries by construction.  This module simulates that control
+plane ahead of render, block by block, and snapshots the engine into
+per-segment parameter tensors the device renderer consumes.
+
+The simulation replicates, with the reference's exact float semantics:
+  * the sequencer clock: ``static double clock_sec`` accumulating the f32
+    block duration, firing a step when it reaches ``tempo_time_per_step``
+    (seq.c:183-191);
+  * the per-pattern modulo/mute/wrap-at-empty-cell logic (seq.c:195-211);
+  * the defer queue drained when ``when <= synth_sample_count +
+    frame_count`` — with the counter already advanced past the current
+    block, i.e. events fire up to one block early (seq.c:172);
+  * the two *static* wire contexts shared by queue items and pattern cells
+    (seq.c:170, seq.c:180).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import List, Optional
+
+import numpy as np
+
+from skred_tpu import config as C
+from skred_tpu.assets.bank import WaveBank
+from skred_tpu.host.engine import HostEngine, VoiceOps
+from skred_tpu.host.wire import WireContext
+
+V = C.VOICE_MAX
+
+# engine attributes snapshotted per segment, by dtype
+PARAM_F32 = [
+    "phase_inc", "loop_start_f", "loop_end_f", "amp",
+    "freq_mod_depth", "freq_scale", "pan_mod_depth", "amp_mod_depth",
+    "cz_mod_depth", "cz_distortion", "smoother_smoothing",
+    "flt_b0", "flt_b1", "flt_b2", "flt_a1", "flt_a2",
+    "env_attack", "env_decay", "env_sustain", "env_release", "env_velocity",
+]
+PARAM_I32 = [
+    "table_key", "table_size", "table_index", "one_shot", "loop_enabled",
+    "loop_valid", "direction", "hold_max", "quantize", "filter_mode",
+    "use_amp_envelope", "env_active", "freq_mod_osc", "amp_mod_osc",
+    "pan_mod_osc", "cz_mod_osc", "cz_mode", "disconnect", "record",
+]
+PARAM_I64_AS_I32 = ["env_start", "env_rel_at"]
+OPS_FIELDS = [f.name for f in dataclasses.fields(VoiceOps)]
+
+
+@dataclasses.dataclass
+class Timeline:
+    """Compiled control timeline for one script."""
+
+    num_blocks: int
+    block: int
+    seg_of_block: np.ndarray              # [B] int32
+    seg_is_start: np.ndarray              # [B] bool — ops apply on these blocks
+    params: dict                          # name → [S, V] (or [S] for scalars)
+    ops: dict                             # name → [S, V]
+    table_buffer: np.ndarray              # packed f32 tables
+    table_offsets: np.ndarray             # [num_tables] int32
+    mod_passes: int
+    final_engine: HostEngine              # post-simulation state (round-trip/debug)
+
+    @property
+    def num_segments(self) -> int:
+        return int(self.seg_of_block[-1]) + 1 if self.num_blocks else 0
+
+
+class _SeqSim:
+    """seq() + queue drain simulation (seq.c:164-213)."""
+
+    def __init__(self, engine: HostEngine, script_dir: Optional[pathlib.Path]):
+        self.e = engine
+        # the two static contexts in seq.c
+        self.qctx = WireContext(engine, script_dir)   # seq.c:170 'v'
+        self.cctx = WireContext(engine, script_dir)   # seq.c:180 'w'
+
+    def tick(self, frame_count: int) -> None:
+        e = self.e
+        # --- drain due queue items (seq.c:171-177) ---
+        limit = e.sample_count + frame_count
+        for q in range(C.QUEUE_SIZE):
+            if e.queue_state[q] == C.Q_READY and int(e.queue_when[q]) <= limit:
+                e.queue_state[q] = C.Q_USING
+                self.qctx.voice = int(e.queue_voice[q])
+                self.qctx.wire(e.queue_what[q])
+                e.queue_state[q] = C.Q_FREE
+        # --- clock (seq.c:183-191): double += f32(block/rate) ---
+        frame_time = np.float32(np.float32(frame_count) / np.float32(C.MAIN_SAMPLE_RATE))
+        e.seq_clock_sec = np.float64(e.seq_clock_sec + np.float64(frame_time))
+        if e.seq_clock_sec >= np.float64(e.tempo_time_per_step):
+            e.seq_clock_sec = np.float64(
+                e.seq_clock_sec - np.float64(e.tempo_time_per_step)
+            )
+            advance = True
+        else:
+            advance = False
+        if not advance:
+            return
+        # --- fire one step per running pattern (seq.c:195-211) ---
+        for p in range(C.PATTERNS_MAX):
+            if e.seq_state[p] != C.SEQ_RUNNING:
+                continue
+            if e.seq_modulo[p] > 1:
+                if (e.seq_counter[p] % e.seq_modulo[p]) != 0:
+                    e.seq_counter[p] += 1
+                    continue
+            e.seq_counter[p] += 1
+            ptr = int(e.seq_pointer[p])
+            if e.seq_mute[p][ptr] == 0:
+                self.cctx.wire(e.seq_pattern[p][ptr])
+            e.seq_pointer[p] += 1
+            nxt = int(e.seq_pointer[p])
+            if nxt >= C.SEQ_STEPS_MAX or e.seq_pattern[p][nxt] == "":
+                e.seq_pointer[p] = 0
+
+
+def _mod_passes(e: HostEngine) -> int:
+    """Fixed-point passes needed for serial in-frame mod order
+    (synth.c:548-602): voice n reading modulator m<n sees m's *current*
+    sample.  K = 1 + longest increasing dependency chain."""
+    depth = [0] * V
+    k = 1
+    for n in range(V):
+        edges = []
+        fm = int(e.freq_mod_osc[n])
+        if fm >= 0 and fm != n:
+            edges.append(fm)
+        am = int(e.amp_mod_osc[n])
+        if am >= 0:
+            edges.append(am)
+        pm = int(e.pan_mod_osc[n])
+        if pm >= 0 and e.disconnect[n] == 0:
+            edges.append(pm)
+        cm = int(e.cz_mod_osc[n])
+        if cm >= 0 and e.cz_mode[n] != 0:   # cz read gated on cz mode (synth.c:262)
+            edges.append(cm)
+        d = 0
+        for m in edges:
+            if m < n:
+                d = max(d, depth[m] + 1)
+        depth[n] = d
+        k = max(k, d + 1)
+    return k
+
+
+def compile_script(
+    lines: List[str],
+    seconds: float,
+    bank: Optional[WaveBank] = None,
+    script_dir: Optional[pathlib.Path] = None,
+    block: int = C.SYNTH_FRAMES_PER_CALLBACK,
+    engine: Optional[HostEngine] = None,
+) -> Timeline:
+    """Execute script text at t=0 then simulate the control plane for the
+    full render duration, producing the device timeline."""
+    e = engine or HostEngine(bank.fork() if bank is not None else None)
+    top = WireContext(e, script_dir)
+    for line in lines:
+        top.wire(line)
+
+    total_frames = int(seconds * C.MAIN_SAMPLE_RATE)
+    num_blocks = (total_frames + block - 1) // block
+
+    sim = _SeqSim(e, script_dir)
+
+    seg_params: List[dict] = []
+    seg_ops: List[dict] = []
+    seg_of_block = np.zeros(num_blocks, dtype=np.int32)
+    seg_is_start = np.zeros(num_blocks, dtype=bool)
+    mod_passes = 1
+
+    def snapshot() -> None:
+        nonlocal mod_passes
+        p = {}
+        for name in PARAM_F32:
+            p[name] = getattr(e, name).copy()
+        for name in PARAM_I32:
+            p[name] = getattr(e, name).copy()
+        for name in PARAM_I64_AS_I32:
+            p[name] = getattr(e, name).astype(np.int32)
+        p["volume_final"] = np.float32(e.volume_final)
+        seg_params.append(p)
+        o = {name: getattr(e.ops, name).copy() for name in OPS_FIELDS}
+        seg_ops.append(o)
+        e.ops.clear()
+        e.dirty = False
+        mod_passes = max(mod_passes, _mod_passes(e))
+
+    snapshot()  # segment 0 ← initial script state
+    for k in range(num_blocks):
+        seg_of_block[k] = len(seg_params) - 1
+        # control for block k+1 happens after block k renders
+        e.sample_count += block
+        sim.tick(block)
+        if e.dirty and k + 1 < num_blocks:
+            snapshot()
+            seg_is_start[k + 1] = True
+    if num_blocks:
+        seg_is_start[0] = True
+
+    params = {}
+    for name in PARAM_F32 + PARAM_I32 + PARAM_I64_AS_I32:
+        params[name] = np.stack([s[name] for s in seg_params])
+    params["volume_final"] = np.array(
+        [s["volume_final"] for s in seg_params], dtype=np.float32
+    )
+    ops = {name: np.stack([s[name] for s in seg_ops]) for name in OPS_FIELDS}
+
+    # pack bound tables
+    if e.table_list:
+        offsets = np.zeros(len(e.table_list), dtype=np.int32)
+        off = 0
+        for i, t in enumerate(e.table_list):
+            offsets[i] = off
+            off += t.size
+        buffer = np.concatenate([t.astype(np.float32) for t in e.table_list])
+    else:
+        offsets = np.zeros(1, dtype=np.int32)
+        buffer = np.zeros(1, dtype=np.float32)
+
+    return Timeline(
+        num_blocks=num_blocks, block=block,
+        seg_of_block=seg_of_block, seg_is_start=seg_is_start,
+        params=params, ops=ops,
+        table_buffer=buffer, table_offsets=offsets,
+        mod_passes=mod_passes, final_engine=e,
+    )
+
+
+def noise_stream(total_samples: int) -> np.ndarray:
+    """The shared per-sample 'whiteish' LCG stream (synth.c:508,525),
+    seeded 1 — one draw per sample regardless of voices."""
+    A = np.uint64(6364136223846793005)
+    Cc = np.uint64(1442695040888963407)
+    out = np.empty(total_samples, dtype=np.uint64)
+    s = np.uint64(1)
+    CHUNK = 65536
+    offs_a = np.empty(CHUNK, dtype=np.uint64)
+    offs_c = np.empty(CHUNK, dtype=np.uint64)
+    a, c = np.uint64(1), np.uint64(0)
+    with np.errstate(over="ignore"):
+        for t in range(CHUNK):
+            a = a * A
+            c = c * A + Cc
+            offs_a[t] = a
+            offs_c[t] = c
+        for start in range(0, total_samples, CHUNK):
+            m = min(CHUNK, total_samples - start)
+            out[start : start + m] = offs_a[:m] * s + offs_c[:m]
+            s = out[start + m - 1]
+    hi = (out >> np.uint64(32)).astype(np.uint32).astype(np.int32)
+    return (hi.astype(np.float32) / np.float32(2147483648.0)).astype(np.float32)
