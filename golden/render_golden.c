@@ -123,8 +123,6 @@ int main(int argc, char **argv) {
   voice_init();
   seq_init();
 
-  if (dump_path) { dump_wavetables(dump_path); return 0; }
-
   /* execute the script at t=0 through one persistent wire context,
    * mirroring sk_load (wire.c:342-368) */
   wire_t w = WIRE();
@@ -140,6 +138,19 @@ int main(int argc, char **argv) {
     fclose(in);
   }
   for (int i = 0; i < nexec; i++) wire(execs[i], &w);
+
+  /* Determinism fix for a reference bug: wave_load's channel-select loop
+   * (miniwav.c:132-142, signed/unsigned `ch > outputChannels` comparison)
+   * reads one float past the decoded buffer for a user slot's final
+   * sample — uninitialized heap, varying between runs.  Define it as 0
+   * so goldens are reproducible (matches skred_tpu's loader). */
+  for (int i = EXT_SAMPLE_000; i < EXT_SAMPLE_999; i++) {
+    if (wave_table_data[i] && wave_size[i] > 0) {
+      wave_table_data[i][wave_size[i] - 1] = 0.0f;
+    }
+  }
+
+  if (dump_path) { dump_wavetables(dump_path); return 0; }
 
   if (do_state_dump) { state_dump(); }
 

@@ -234,18 +234,20 @@ class WaveBank:
         except (FileNotFoundError, wave_mod.Error):
             return False
         frames = data.shape[0]
-        if ch == -1:
-            # reference mw_get quirk (miniwav.c:132-142): ch=-1 leaves the
-            # interleaved buffer untouched; for mono that's the signal, for
-            # multichannel the first `frames` interleaved values are used.
-            flat = data.reshape(-1)[:frames].astype(np.float32)
-        else:
-            if ch > channels:
-                ch = channels
-            flat = data.reshape(-1)
-            idx = np.arange(frames) * channels + ch
-            idx = np.clip(idx, 0, flat.size - 1)
-            flat = flat[idx].astype(np.float32)
+        # reference quirk (miniwav.c:132): `ch > decoder.outputChannels`
+        # compares signed ch against an UNSIGNED channel count, so the
+        # default ch=-1 becomes ch=channels, and the channel-select loop
+        # reads pSamples[i + channels] — channel 0 of the *next* frame.
+        # Every load therefore drops the first frame (keeping the left
+        # channel for multichannel files) and reads one past the end
+        # (zero) for the final sample.
+        if ch < 0 or ch > channels:
+            ch = channels
+        flat = data.reshape(-1)
+        idx = np.arange(frames) * channels + ch
+        oob = idx >= flat.size
+        vals = flat[np.clip(idx, 0, flat.size - 1)].astype(np.float32)
+        flat = np.where(oob, np.float32(0.0), vals).astype(np.float32)
         self.slots[where] = Slot(
             data=flat, size=frames, rate=float(rate), one_shot=1,
             loop_enabled=0, loop_start=1, loop_end=frames, midi_note=69.0,

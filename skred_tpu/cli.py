@@ -1,0 +1,109 @@
+"""Command-line interface.
+
+  python -m skred_tpu.cli render SCRIPT.sk --seconds 10 --out out.wav
+  python -m skred_tpu.cli batch  A.sk B.sk … --seconds 10 --outdir renders/
+  python -m skred_tpu.cli repl                       (interactive wire REPL)
+
+The offline analog of the reference `skred` binary's CLI
+(reference: skred.c:194-222 flag parsing, REPL loop :313-347).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+
+def _force_platform(platform: str | None) -> None:
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def cmd_render(args) -> int:
+    _force_platform(args.platform)
+    import numpy as np
+
+    from skred_tpu.assets import WaveBank, bank as bank_mod
+    from skred_tpu.engine import render_timeline
+    from skred_tpu.host.timeline import compile_script
+
+    script = pathlib.Path(args.script)
+    if not script.exists():
+        print(f"error: no such script: {script}", file=sys.stderr)
+        return 2
+    script_dir = script.resolve().parent
+    bank = WaveBank()
+    lines = script.read_text().splitlines()
+    for e in args.execute or []:
+        lines.append(e)
+    t0 = time.time()
+    tl = compile_script(lines, args.seconds, bank=bank, script_dir=script_dir)
+    t_compile = time.time() - t0
+    t0 = time.time()
+    out = render_timeline(tl)
+    t_render = time.time() - t0
+    dur = len(out) / 44100.0
+    print(f"# compiled {tl.num_segments} segments in {t_compile:.2f}s; "
+          f"rendered {dur:.2f}s in {t_render:.2f}s "
+          f"({dur / max(t_render, 1e-9):.1f}x realtime)")
+    out_path = pathlib.Path(args.out or script.with_suffix(".rendered.wav").name)
+    if out_path.suffix == ".f32":
+        out.astype(np.float32).tofile(out_path)
+    else:
+        bank_mod.write_wav_16(out_path, out)
+    print(f"# wrote {out_path}")
+    return 0
+
+
+def cmd_batch(args) -> int:
+    _force_platform(args.platform)
+    from skred_tpu.parallel.batch import render_batch
+
+    scripts = [pathlib.Path(s) for s in args.scripts]
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    render_batch(scripts, args.seconds, outdir)
+    return 0
+
+
+def cmd_repl(args) -> int:
+    from skred_tpu.frontends.repl import main as repl_main
+
+    return repl_main(seconds=args.seconds)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="skred_tpu")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu/tpu)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render one .sk script")
+    r.add_argument("script")
+    r.add_argument("--seconds", type=float, default=10.0)
+    r.add_argument("--out", default=None, help=".wav or .f32 output path")
+    r.add_argument("-e", "--execute", action="append",
+                   help="extra wire command after the script")
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("batch", help="batch-render many scripts")
+    b.add_argument("scripts", nargs="+")
+    b.add_argument("--seconds", type=float, default=10.0)
+    b.add_argument("--outdir", default="renders")
+    b.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("repl", help="interactive wire REPL (offline)")
+    p.add_argument("--seconds", type=float, default=4.0,
+                   help="render window per interactive evaluation")
+    p.set_defaults(fn=cmd_repl)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

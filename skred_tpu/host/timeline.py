@@ -48,6 +48,7 @@ PARAM_I32 = [
     "loop_valid", "direction", "hold_max", "quantize", "filter_mode",
     "use_amp_envelope", "env_active", "freq_mod_osc", "amp_mod_osc",
     "pan_mod_osc", "cz_mod_osc", "cz_mode", "disconnect", "record",
+    "smoother_enable",
 ]
 PARAM_I64_AS_I32 = ["env_start", "env_rel_at"]
 OPS_FIELDS = [f.name for f in dataclasses.fields(VoiceOps)]

@@ -13,7 +13,11 @@ import pathlib
 import subprocess
 import sys
 
+import jax
 import pytest
+
+# the axon TPU plugin ignores JAX_PLATFORMS; force CPU explicitly
+jax.config.update("jax_platforms", "cpu")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE = pathlib.Path("/root/reference")
