@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Benchmark: batched ×-realtime render throughput per chip.
 
-Renders the bundled .sk corpus as one batched tensor program (vmap over
-scripts, all 64 voices per script) and reports aggregate rendered
-audio-seconds per wall-second.  Baseline = 1.0× realtime: the reference C
-engine renders 64 voices at exactly real time on one CPU thread by design
-(512-frame callback deadline, skred.h:12; see BASELINE.md).
+Renders the bundled .sk corpus with the fused block-parallel engine
+(Pallas recurrence kernels + voice packing), bucketed by packed voice
+count so simple scripts don't pay for complex ones.  Baseline = 1.0×
+realtime: the reference C engine renders its 64-voice graph at exactly
+real time on one CPU thread by design (512-frame callback deadline,
+skred.h:12; see BASELINE.md).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,14 +26,16 @@ REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 
 def main() -> None:
-    from skred_tpu.assets import WaveBank
-    from skred_tpu.host.timeline import compile_script, noise_stream
-    from skred_tpu.parallel.batch import render_stacked, stack_timelines
+    import jax
+    import jax.numpy as jnp
 
-    if REF.exists():
-        scripts = sorted(REF.glob("*.sk"))
-    else:
-        scripts = []
+    from skred_tpu.assets import WaveBank
+    from skred_tpu.engine.fused import render_fused_device
+    from skred_tpu.engine.render import _render_jit  # noqa: F401 (compat import)
+    from skred_tpu.host.timeline import compile_script, noise_stream
+    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+
+    scripts = sorted(REF.glob("*.sk")) if REF.exists() else []
     if not scripts:
         print(json.dumps({"metric": "render_throughput", "value": 0.0,
                           "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
@@ -40,40 +43,75 @@ def main() -> None:
         return
 
     bank = WaveBank()
-    tls = []
-    for p in scripts:
-        tl = compile_script(p.read_text().splitlines(), SECONDS, bank=bank,
-                            script_dir=REF)
-        tls.append(tl)
-    tls = tls * REPLICAS
-    st = stack_timelines(tls)
-    noise = noise_stream(st.num_blocks * st.block)
+    tls = [compile_script(p.read_text().splitlines(), SECONDS, bank=bank,
+                          script_dir=REF) for p in scripts]
 
-    # warmup (compile)
-    t0 = time.time()
-    out = render_stacked(st, noise=noise)
-    compile_and_first = time.time() - t0
+    # bucket by packed voice count (pow2) so the per-sample table gather —
+    # the TPU throughput ceiling — scales with each script's real polyphony
+    buckets = {}
+    compat_tls = []
+    for tl in tls:
+        if tl.fused_passes is None:
+            compat_tls.append(tl)   # 1-sample feedback loops: scan engine
+            continue
+        st1 = pack_stacked(stack_timelines([tl]))
+        vp = st1.params["amp"].shape[-1]
+        buckets.setdefault(vp, []).append(tl)
 
-    # steady state
-    t0 = time.time()
-    out = render_stacked(st, noise=noise)
-    wall = time.time() - t0
+    noise = noise_stream(tls[0].num_blocks * tls[0].block)
+    noise_dev = jnp.asarray(noise)
 
-    audio_seconds = st.batch * st.num_blocks * st.block / 44100.0
-    x_rt = audio_seconds / wall
+    total_audio = 0.0
+    total_wall = 0.0
+    detail = []
+    checksum = 0.0
+    for vp, group in sorted(buckets.items()):
+        group = group * REPLICAS
+        st = pack_stacked(stack_timelines(group))
+        # warmup/compile
+        out = render_fused_device(st, noise=noise_dev)
+        float(jnp.sum(out[-1]))
+        t0 = time.time()
+        out = render_fused_device(st, noise=noise_dev)
+        checksum += float(jnp.sum(jnp.abs(out[-1])))  # forces completion
+        wall = time.time() - t0
+        audio = st.batch * st.num_blocks * st.block / 44100.0
+        total_audio += audio
+        total_wall += wall
+        detail.append({"voices": int(vp), "scripts": len(group),
+                       "wall_s": round(wall, 3),
+                       "x_rt": round(audio / wall, 1)})
+    if compat_tls:
+        from skred_tpu.parallel.batch import render_stacked
+
+        group = compat_tls * REPLICAS
+        st = stack_timelines(group)
+        out = render_stacked(st, noise=noise)
+        t0 = time.time()
+        out = render_stacked(st, noise=noise)
+        checksum += float(np.abs(out[-1]).sum())
+        wall = time.time() - t0
+        audio = st.batch * st.num_blocks * st.block / 44100.0
+        total_audio += audio
+        total_wall += wall
+        detail.append({"voices": "compat-scan", "scripts": len(group),
+                       "wall_s": round(wall, 3),
+                       "x_rt": round(audio / wall, 1)})
+
+    x_rt = total_audio / total_wall
     print(json.dumps({
         "metric": "batched_render_throughput",
         "value": round(x_rt, 2),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(x_rt / 1.0, 2),
+        "vs_baseline": round(x_rt, 2),
         "detail": {
-            "batch": st.batch,
             "scripts": len(scripts),
+            "replicas": REPLICAS,
             "seconds_each": SECONDS,
-            "wall_s": round(wall, 3),
-            "compile_plus_first_s": round(compile_and_first, 2),
-            "voice_samples_per_s": int(audio_seconds * 64 * 44100 / wall),
-            "rms": float(np.sqrt((out.astype(np.float64) ** 2).mean())),
+            "total_audio_s": round(total_audio, 1),
+            "total_wall_s": round(total_wall, 3),
+            "buckets": detail,
+            "checksum": checksum,
         },
     }))
 

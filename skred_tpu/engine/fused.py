@@ -1,0 +1,619 @@
+"""Fused block-parallel renderer — the fast TPU engine.
+
+The compat engine (render.py) replicates the reference's per-sample loop
+under ``lax.scan`` — bit-exact but sequential: TPUs hate 44100 tiny steps
+per audio-second.  This engine removes the per-sample loop entirely by
+exploiting the structure of the DSP graph:
+
+  * oscillator phase is an *integral* — ``cumsum`` of per-sample
+    increments (f64 in-block for precision), loop-wrap applied
+    analytically, one-shot finish via ``cummax`` masking;
+  * the biquad filter and the amp/volume smoothers are *linear
+    recurrences* — ``jax.lax.associative_scan`` over affine maps
+    (O(log N) depth instead of O(N));
+  * envelopes are closed-form functions of the sample counter;
+  * sample&hold positions are arithmetic on the hold counter;
+  * the voice modulation graph is resolved by *block-level fixed-point*:
+    pass p computes every voice's full block using pass p−1's modulator
+    blocks; ``depth`` passes give the exact dataflow (modulator reads are
+    a one-hot matmul over the voice axis plus a one-sample shift for
+    higher-indexed modulators — reference semantics, synth.c:548-602).
+
+Numerics: not bit-identical to the C engine (summation orders differ) but
+validated ≤ −60 dB against the same goldens on the corpus (see
+tools/parity_sweep.py --fused).  The compat engine remains the reference
+implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+
+jax.config.update("jax_enable_x64", True)   # f64 in-block phase integrals
+
+import jax.numpy as jnp
+import numpy as np
+
+from skred_tpu import config as C
+from skred_tpu.engine.render import _fma
+from skred_tpu.host.timeline import Timeline, noise_stream
+
+V = C.VOICE_MAX
+F32 = jnp.float32
+F64 = jnp.float64
+I32 = jnp.int32
+
+VOICE_IDX = np.arange(V, dtype=np.int32)
+
+
+def _affine_scan(a, b, x0, axis=-1):
+    """First-order linear recurrence  x_t = a_t * x_{t-1} + b_t  with
+    initial value x0, via associative_scan.  a broadcasts over time."""
+    a = jnp.broadcast_to(a, b.shape)
+    # fold x0 into the first step
+    b0 = b[..., 0] + a[..., 0] * x0
+    b = jnp.concatenate([b0[..., None], b[..., 1:]], axis=-1)
+
+    def combine(l, r):
+        la, lb = l
+        ra, rb = r
+        return la * ra, lb * ra + rb
+
+    _, x = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    return x
+
+
+def _biquad_block(x, b0, b1, b2, na1, na2, x1, x2, y1, y2):
+    """Biquad over a block via associative scan on the order-2 recurrence
+    y_t = (b0 x_t + b1 x_{t-1} + b2 x_{t-2}) + na1 y_{t-1} + na2 y_{t-2}.
+
+    x: [..., N]; coefficients/state: [...].  Returns (y, new states)."""
+    xm1 = jnp.concatenate([x1[..., None], x[..., :-1]], axis=-1)
+    xm2 = jnp.concatenate([x2[..., None], x1[..., None], x[..., :-2]], axis=-1)
+    f = (b0[..., None] * x + b1[..., None] * xm1 + b2[..., None] * xm2)
+    # state s_t = [y_t, y_{t-1}];  s_t = M s_{t-1} + [f_t, 0]
+    # associative elements: (M_t, u_t) with combine (M2 M1, M2 u1 + u2).
+    N = x.shape[-1]
+    sh = x.shape
+    A = jnp.broadcast_to(na1[..., None], sh)
+    B = jnp.broadcast_to(na2[..., None], sh)
+    one = jnp.ones_like(A)
+    zero = jnp.zeros_like(A)
+    # M = [[a, b], [1, 0]] per step (same every step)
+    m00, m01, m10, m11 = A, B, one, zero
+    u0, u1 = f, zero
+
+    # fold initial state into first element: s_1 = M s_0 + u_1
+    s0_0 = y1
+    s0_1 = y2
+    u0 = u0.at[..., 0].add(m00[..., 0] * s0_0 + m01[..., 0] * s0_1)
+    u1 = u1.at[..., 0].add(m10[..., 0] * s0_0 + m11[..., 0] * s0_1)
+    m00 = m00.at[..., 0].set(0.0)
+    m01 = m01.at[..., 0].set(0.0)
+    m10 = m10.at[..., 0].set(0.0)
+    m11 = m11.at[..., 0].set(0.0)
+
+    def combine(l, r):
+        l00, l01, l10, l11, lu0, lu1 = l
+        r00, r01, r10, r11, ru0, ru1 = r
+        # compose r ∘ l : M = R L ; u = R lu + ru
+        c00 = r00 * l00 + r01 * l10
+        c01 = r00 * l01 + r01 * l11
+        c10 = r10 * l00 + r11 * l10
+        c11 = r10 * l01 + r11 * l11
+        cu0 = r00 * lu0 + r01 * lu1 + ru0
+        cu1 = r10 * lu0 + r11 * lu1 + ru1
+        return c00, c01, c10, c11, cu0, cu1
+
+    res = jax.lax.associative_scan(
+        combine, (m00, m01, m10, m11, u0, u1), axis=-1)
+    y = res[4]
+    new_y1 = y[..., -1]
+    new_y2 = jnp.where(N >= 2, y[..., -2], y1)
+    new_x1 = x[..., -1]
+    new_x2 = jnp.where(N >= 2, x[..., -2], x1)
+    return y, new_x1, new_x2, new_y1, new_y2
+
+
+def _envelope_block(counts, p):
+    """Closed-form ADSR over a block (synth.c:398-431). counts: [N]."""
+    t = (counts[None, None, :] - p["env_start"][..., None]).astype(F32)
+    att = p["env_attack"][..., None]
+    dec = p["env_decay"][..., None]
+    sus = p["env_sustain"][..., None]
+    rel = p["env_release"][..., None]
+    tr = (counts[None, None, :] - p["env_rel_at"][..., None]).astype(F32)
+    v = jnp.where(
+        t < att, t / att,
+        jnp.where(t < att + dec,
+                  F32(1.0) - ((t - att) / dec) * (F32(1.0) - sus),
+                  jnp.where(p["env_rel_at"][..., None] == 0, sus,
+                            jnp.where(tr < rel,
+                                      sus * (F32(1.0) - tr / rel), F32(0.0)))))
+    return jnp.where(p["env_active"][..., None] != 0, v, F32(0.0))
+
+
+def _fast_pow(a, b):
+    i = jax.lax.bitcast_convert_type(a, I32)
+    x = b * (i - 1065353216).astype(F32) + F32(1065353216)
+    r = jax.lax.bitcast_convert_type(x.astype(I32), F32)
+    return jnp.where(a <= 0.0, F32(0.0), r)
+
+
+def _cz_phasor(mode, ph, d, tsize):
+    phase = ph / tsize
+    d = jnp.clip(d, 0.0, 0.999)
+    half, one = F32(0.5), F32(1.0)
+    m1 = jnp.where(phase < d, phase * (half / d),
+                   half + (phase - d) * (half / (one - d)))
+    sc2 = half / (half - d * half)
+    m2 = jnp.where(phase < half, phase * sc2, one - (one - phase) * sc2)
+    m3 = jnp.where(phase < half, phase * sc2, half + (phase - half) * sc2)
+    m4 = jnp.fmod(phase * F32(2.0), one)
+    sc5b = half / (half + d * half)
+    m5 = jnp.where(phase < half, phase * sc2, half + (phase - half) * sc5b)
+    m6 = _fast_pow(phase, one + F32(4.0) * d)
+    m7 = _fast_pow(phase, one + F32(8.0) * d)
+    out = jnp.select([mode == 1, mode == 2, mode == 3, mode == 4,
+                      mode == 5, mode == 6, mode == 7],
+                     [m1, m2, m3, m4, m5, m6, m7], default=phase)
+    return out * tsize
+
+
+def _read_block(est, prev_last, osc, delayed):
+    """Modulator read over a block with reference serial-order semantics
+    (synth.c:526): a read of a modulator with *original* index >= the
+    reader's sees a one-sample delay (``delayed`` flag, computed at pack
+    time from pre-packing indices).
+
+    Implemented as a one-hot matmul over the voice axis — XLA's native
+    gather costs ~13 ns/element on TPU, the MXU does this for free.
+
+    est: [B, V, N] candidate blocks; prev_last: [B, V] previous block's
+    final samples; osc/delayed: [B, V]."""
+    nv = est.shape[1]
+    sel = (osc[..., None] == np.arange(nv, dtype=np.int32)).astype(est.dtype)
+    src = jnp.einsum("bnm,bmt->bnt", sel, est,
+                     preferred_element_type=jnp.float32)
+    src_last = jnp.einsum("bnm,bm->bn", sel, prev_last,
+                          preferred_element_type=jnp.float32)
+    shifted = jnp.concatenate([src_last[..., None], src[..., :-1]], axis=-1)
+    return jnp.where((delayed != 0)[..., None], shifted, src)
+
+
+def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
+                      exact=False, use_pallas=False):
+    """One block-level fixed-point pass: compute every voice's full block.
+
+    est: [B, V, N] modulator sample estimates; carry: state dict.
+    Returns (samples [B,V,N], left, right, new_carry)."""
+    N = est.shape[-1]
+    B = est.shape[0]
+    active0 = p["amp"] != 0.0                       # [B, V]
+
+    # ---- FM increments ----
+    fm = p["freq_mod_osc"]
+    fm_read = _read_block(est, carry["sample"], fm, p["fm_delayed"])
+    g = fm_read * p["freq_mod_depth"][..., None]
+    mod_inc = jnp.take_along_axis(p["phase_inc"], jnp.maximum(fm, 0), axis=1)
+    use_fm = (fm >= 0) & (p["fm_self"] == 0)
+    inc = jnp.where(use_fm[..., None],
+                    _fma((mod_inc * p["freq_scale"])[..., None], g,
+                         p["phase_inc"][..., None], exact),
+                    jnp.broadcast_to(p["phase_inc"][..., None], g.shape))
+    inc = jnp.where(p["direction"][..., None] != 0, -inc, inc)
+
+    # ---- phase walk ----
+    # The phase recurrence is replicated with the reference's exact serial
+    # f32 adds + per-sample wrap (osc_next, synth.c:217-258) in a *minimal*
+    # scan carrying only (phase, finished): anything else (an f64 cumsum,
+    # say) random-walks away from the C engine's per-sample rounding and
+    # decorrelates deep-FM voices within seconds.
+    tsize_f = p["table_size"].astype(F32)
+    use_loop = (p["loop_enabled"] != 0) & (p["loop_valid"] != 0)
+    lo = jnp.where(use_loop, p["loop_start_f"], F32(0.0))
+    hi = jnp.where(use_loop, p["loop_end_f"], tsize_f)
+    L = hi - lo
+    os_noloop = (p["one_shot"] != 0) & (p["loop_enabled"] == 0)
+    fin_prev = carry["finished"] != 0
+    is_noise_v = p["table_index"] == C.WAVE_TABLE_NOISE_ALT
+    adv_v = active0 & ~fin_prev & ~is_noise_v
+
+    B_, V_ = active0.shape
+    if use_pallas:
+        from skred_tpu.engine import kernels as K
+
+        flat = lambda a: a.reshape(B_ * V_)
+        ph_T, dead_T, ph_end_f, fin_end_f = K.phase_walk_pallas(
+            K.to_time_major(inc), flat(carry["phase"]),
+            flat(carry["finished"]),
+            flat(lo), flat(hi), flat(L), flat(os_noloop.astype(jnp.int32)),
+            flat(p["one_shot"]), flat(adv_v.astype(jnp.int32)),
+            flat(active0.astype(jnp.int32)))
+        ph32 = K.from_time_major(ph_T, B_, V_)
+        dead = K.from_time_major(dead_T, B_, V_) != 0
+        ph_end = ph_end_f.reshape(B_, V_)
+        fin_end = fin_end_f.reshape(B_, V_) != 0
+    else:
+        def ph_step(c, inc_t):
+            ph_c, fin_c = c
+            ph = ph_c + inc_t
+            bad = ~jnp.isfinite(ph)
+            over = ph >= hi
+            under = ph < lo
+            wrap_over = lo + jnp.fmod(ph - lo, L)
+            wrap_under = hi - jnp.fmod(lo - ph, L)
+            ph2 = jnp.where(over,
+                            jnp.where(os_noloop, hi - F32(1e-6), wrap_over),
+                            jnp.where(under,
+                                      jnp.where(os_noloop, lo, wrap_under),
+                                      ph))
+            ph2 = jnp.where(bad, F32(0.0), ph2)
+            fin_new = ((bad & (p["one_shot"] != 0))
+                       | ((over | under) & os_noloop))
+            step_on = adv_v & ~fin_c
+            dead_t = fin_c | ~active0
+            ph_keep = jnp.where(step_on, ph2, ph_c)
+            fin_keep = jnp.where(step_on & fin_new, True, fin_c)
+            return (ph_keep, fin_keep), (ph2, dead_t)
+
+        (ph_end, fin_end), (ph_seq, dead_seq) = jax.lax.scan(
+            ph_step, (carry["phase"], fin_prev), jnp.moveaxis(inc, -1, 0))
+        ph32 = jnp.moveaxis(ph_seq, 0, -1)       # [B, V, N]
+        dead = jnp.moveaxis(dead_seq, 0, -1)     # entering-dead per sample
+
+    # ---- table lookup (+ CZ) ----
+    cm = p["cz_mod_osc"]
+    cz_read = _read_block(est, carry["sample"], cm, p["cm_delayed"])
+    dm = jnp.where((cm >= 0)[..., None],
+                   cz_read * p["cz_mod_depth"][..., None], F32(1.0))
+    cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
+                        p["cz_distortion"][..., None] + dm, tsize_f[..., None])
+    idx_f = jnp.where((p["cz_mode"] != 0)[..., None], cz_idx, ph32)
+    idx = jnp.clip(idx_f.astype(I32), 0,
+                   jnp.maximum(p["table_size"] - 1, 0)[..., None])
+    f_osc = table_buffer[p["table_off"][..., None] + idx]
+
+    is_noise = is_noise_v[..., None]
+    f = jnp.where(is_noise, noise_blk[None, None, :], f_osc)
+    alive = ~dead
+    f = jnp.where(alive, f, F32(0.0))
+
+    new_phase = ph_end
+    new_finished = fin_end.astype(I32)
+
+    # alive prefix length per voice (dead is monotone within a block):
+    # states freeze at the last alive sample, like the reference's skip
+    N_ = f.shape[-1]
+    cnt = alive.sum(axis=-1).astype(I32)         # [B, V]
+    il = jnp.clip(cnt - 1, 0, N_ - 1)
+    any_alive = cnt >= 1
+
+    # one-hot reductions instead of per-element gathers (slow on TPU)
+    tpos_f = np.arange(N_, dtype=np.int32)
+    oh_last = (il[..., None] == tpos_f).astype(F32)
+    oh_prev = (jnp.maximum(il - 1, 0)[..., None] == tpos_f).astype(F32)
+
+    def at_last(seq):
+        return (seq * oh_last).sum(axis=-1)
+
+    def at_prev(seq, fallback):
+        v = (seq * oh_prev).sum(axis=-1)
+        return jnp.where(cnt >= 2, v, fallback)
+
+    # ---- sample & hold ----
+    hold_on = (p["hold_max"] != 0)
+    hm = jnp.maximum(p["hold_max"], 1)
+    tpos = jnp.arange(N_, dtype=I32)
+    sh_cnt = (carry["hold_count"][..., None] + tpos[None, None, :]) % hm[..., None]
+    is_hold = sh_cnt == 0
+    # forward-fill of f at hold positions (no gather): associative scan on
+    # (value, seen) pairs where later holds override earlier ones
+    seed = jnp.concatenate(
+        [jnp.ones_like(is_hold[..., :1]), is_hold[..., 1:]], axis=-1)
+    seed0 = jnp.where(is_hold[..., :1], f[..., :1],
+                      carry["hold_val"][..., None])
+    vals = jnp.concatenate([seed0, f[..., 1:]], axis=-1)
+
+    def ff_combine(l, r):
+        lv, ls = l
+        rv, rs = r
+        return jnp.where(rs, rv, lv), ls | rs
+
+    held, _ = jax.lax.associative_scan(ff_combine, (vals, seed), axis=-1)
+    s1 = jnp.where(hold_on[..., None], held, f)
+    new_hold_count = jnp.where(hold_on & any_alive,
+                               (carry["hold_count"] + cnt) % hm,
+                               carry["hold_count"])
+    new_hold_val = jnp.where(hold_on & any_alive, at_last(held),
+                             carry["hold_val"])
+
+    # ---- quantizer ----
+    levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
+    iv = (s1 * levels[..., None] + F32(0.5)).astype(I32).astype(F32)
+    s2 = jnp.where((p["quantize"] != 0)[..., None],
+                   iv * (F32(1.0) / levels)[..., None], s1)
+
+    # ---- amp/env/amp-mod (block-parallel inputs to the smoother) ----
+    env = jnp.where((p["use_amp_envelope"] != 0)[..., None],
+                    _envelope_block(counts, p) * p["env_velocity"][..., None],
+                    F32(1.0))
+    am = p["amp_mod_osc"]
+    am_read = _read_block(est, carry["sample"], am, p["am_delayed"])
+    # amp-mod self-read sees the voice's own post-filter sample —
+    # resolved inside the scan below
+    am_self = p["am_self"] != 0
+    ampmod_x = jnp.where((am >= 0)[..., None],
+                         am_read * p["amp_mod_depth"][..., None], F32(1.0))
+
+    # ---- filter + smoother: the remaining true recurrences, as a second
+    # minimal scan (table gathers stayed block-parallel above).  Serial f32
+    # op order matches the reference (mmf_process + synth.c:589-592) so
+    # modulator samples don't drift off the C engine's rounding walk.
+    use_flt = (p["filter_mode"] != 0)
+    use_sm = (p["smoother_enable"] != 0)
+    amp_ = p["amp"]
+    smoothing = p["smoother_smoothing"]
+
+    if use_pallas:
+        from skred_tpu.engine import kernels as K
+
+        flat = lambda a: a.reshape(B_ * V_)
+        outs = K.filt_smooth_pallas(
+            K.to_time_major(s2), K.to_time_major(env),
+            K.to_time_major(ampmod_x),
+            K.to_time_major(alive.astype(jnp.int32)),
+            flat(p["b0"]), flat(p["b1"]), flat(p["b2"]),
+            flat(p["na1"]), flat(p["na2"]),
+            flat(use_flt.astype(jnp.int32)), flat(use_sm.astype(jnp.int32)),
+            flat(amp_), flat(smoothing),
+            flat(am_self.astype(jnp.int32)), flat(p["amp_mod_depth"]),
+            flat(carry["x1"]), flat(carry["x2"]), flat(carry["y1"]),
+            flat(carry["y2"]), flat(carry["smoother"]))
+        samples = K.from_time_major(outs[0], B_, V_)
+        new_x1, new_x2, new_y1, new_y2, new_smoother = (
+            o.reshape(B_, V_) for o in outs[1:])
+    else:
+        def fs_step(c, xs):
+            x1, x2, y1, y2, sg = c
+            x_t, env_t, amod_t, alive_t = xs
+            flt = p["b1"] * x1
+            flt = _fma(p["b0"], x_t, flt, exact)
+            flt = _fma(p["b2"], x2, flt, exact)
+            flt = _fma(p["na1"], y1, flt, exact)
+            flt = _fma(p["na2"], y2, flt, exact)
+            s3_t = jnp.where(use_flt, flt, x_t)
+            upd = alive_t & use_flt
+            nx1 = jnp.where(upd, x_t, x1)
+            nx2 = jnp.where(upd, x1, x2)
+            ny1 = jnp.where(upd, flt, y1)
+            ny2 = jnp.where(upd, y1, y2)
+            amod = jnp.where(am_self, s3_t * p["amp_mod_depth"], amod_t)
+            final_t = amp_ * env_t * amod
+            sg2 = _fma(smoothing, final_t - sg, sg, exact)
+            final2 = jnp.where(use_sm, sg2, final_t)
+            nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            out_t = jnp.where(alive_t, s3_t * final2, F32(0.0))
+            return (nx1, nx2, ny1, ny2, nsg), out_t
+
+        (nx1, nx2, ny1, ny2, nsg), samples_seq = jax.lax.scan(
+            fs_step,
+            (carry["x1"], carry["x2"], carry["y1"], carry["y2"],
+             carry["smoother"]),
+            (jnp.moveaxis(s2, -1, 0), jnp.moveaxis(env, -1, 0),
+             jnp.moveaxis(ampmod_x, -1, 0), jnp.moveaxis(alive, -1, 0)))
+        samples = jnp.moveaxis(samples_seq, 0, -1)
+        new_x1, new_x2, new_y1, new_y2 = nx1, nx2, ny1, ny2
+        new_smoother = nsg
+
+    # ---- pan ----
+    pm = p["pan_mod_osc"]
+    pm_read = _read_block(est, carry["sample"], pm, p["pm_delayed"])
+    pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples, pm_read)
+    qv = pm_read * p["pan_mod_depth"][..., None]
+    pan_mod_on = (pm >= 0) & (p["disconnect"] == 0)
+    pl = jnp.where(pan_mod_on[..., None], (F32(1.0) - qv) * F32(0.5),
+                   carry["pan_l"][..., None])
+    pr = jnp.where(pan_mod_on[..., None], (F32(1.0) + qv) * F32(0.5),
+                   carry["pan_r"][..., None])
+    act_pan = pan_mod_on & any_alive
+    new_pan_l = jnp.where(act_pan, at_last(pl), carry["pan_l"])
+    new_pan_r = jnp.where(act_pan, at_last(pr), carry["pan_r"])
+
+    contrib = alive & (p["disconnect"] == 0)[..., None]
+    left = jnp.where(contrib, samples * pl, F32(0.0))
+    right = jnp.where(contrib, samples * pr, F32(0.0))
+
+    new_carry = dict(
+        phase=new_phase, finished=new_finished, sample=samples[..., -1],
+        hold_count=new_hold_count, hold_val=new_hold_val,
+        x1=new_x1, x2=new_x2, y1=new_y1, y2=new_y2,
+        smoother=new_smoother, pan_l=new_pan_l, pan_r=new_pan_r,
+    )
+    return samples, left, right, new_carry
+
+
+def _apply_ops_b(carry, ops, flag):
+    c = dict(carry)
+    c["phase"] = jnp.where(flag & ops["set_phase"], ops["phase"], carry["phase"])
+    c["finished"] = jnp.where(flag & ops["set_finished"], ops["finished"],
+                              carry["finished"])
+    c["sample"] = jnp.where(flag & ops["set_sample"], ops["sample"],
+                            carry["sample"])
+    for k in ("x1", "x2", "y1", "y2"):
+        c[k] = jnp.where(flag & ops["clear_filter"], F32(0.0), carry[k])
+    c["smoother"] = jnp.where(flag & ops["set_smoother"], ops["smoother"],
+                              carry["smoother"])
+    c["pan_l"] = jnp.where(flag & ops["set_pan"], ops["pan_left"], carry["pan_l"])
+    c["pan_r"] = jnp.where(flag & ops["set_pan"], ops["pan_right"], carry["pan_r"])
+    src = jnp.maximum(ops["copy_hold_from"], 0)
+    do = flag & (ops["copy_hold_from"] >= 0)
+    c["hold_count"] = jnp.where(do, jnp.take_along_axis(carry["hold_count"], src, axis=1),
+                                c["hold_count"])
+    c["hold_val"] = jnp.where(do, jnp.take_along_axis(carry["hold_val"], src, axis=1),
+                              c["hold_val"])
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "block",
+                                             "mod_passes", "capture", "exact",
+                                             "use_pallas"))
+def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
+               num_blocks, block, mod_passes, capture, exact=False,
+               use_pallas=False):
+    B, _, Vp = params["amp"].shape
+    carry0 = dict(
+        phase=jnp.zeros((B, Vp), F32), finished=jnp.zeros((B, Vp), I32),
+        sample=jnp.zeros((B, Vp), F32), hold_count=jnp.zeros((B, Vp), I32),
+        hold_val=jnp.zeros((B, Vp), F32),
+        x1=jnp.zeros((B, Vp), F32), x2=jnp.zeros((B, Vp), F32),
+        y1=jnp.zeros((B, Vp), F32), y2=jnp.zeros((B, Vp), F32),
+        smoother=jnp.zeros((B, Vp), F32), pan_l=jnp.zeros((B, Vp), F32),
+        pan_r=jnp.zeros((B, Vp), F32), vol_gain=jnp.zeros((B,), F32),
+    )
+
+    def block_step(carry, k):
+        seg = seg_of_block[:, k]                    # [B]
+        p = {name: arr[jnp.arange(B), seg] for name, arr in params.items()}
+        o = {name: arr[jnp.arange(B), seg] for name, arr in ops.items()}
+        carry = _apply_ops_b(carry, o, seg_is_start[:, k][:, None])
+        counts = (k * block + 1 + jnp.arange(block)).astype(I32)
+        nblk = jax.lax.dynamic_slice_in_dim(noise, k * block, block)
+
+        est = jnp.broadcast_to(carry["sample"][..., None],
+                               (B, Vp, block)).astype(F32)
+        for _ in range(mod_passes):
+            samples, left, right, new_carry = _voice_block_pass(
+                est, carry, p, nblk, counts, table_buffer, exact, use_pallas)
+            est = samples
+
+        # ---- mix + volume smoother ----
+        mix_l = left.sum(axis=1)                    # [B, N]
+        mix_r = right.sum(axis=1)
+        vf = p["volume_final"][..., None]
+        vg = _affine_scan(jnp.full_like(vf, F32(1.0) - F32(0.002)),
+                          F32(0.002) * jnp.broadcast_to(vf, mix_l.shape),
+                          carry["vol_gain"])
+        out = jnp.stack([mix_l * vg, mix_r * vg], axis=-1)  # [B, N, 2]
+        new_carry["vol_gain"] = vg[..., -1]
+        if capture:
+            return new_carry, (out, jnp.stack([left, right], axis=-1))
+        return new_carry, out
+
+    carry, outs = jax.lax.scan(block_step, carry0, jnp.arange(num_blocks))
+    return outs
+
+
+def render_fused_device(st, noise=None, exact: Optional[bool] = None,
+                        use_pallas: Optional[bool] = None):
+    """Like render_fused but keeps the result on device (shape
+    [num_blocks, B, block, 2]) — for benchmarking/pipelines where the
+    host download would dominate."""
+    import jax.numpy as jnp_
+
+    from skred_tpu.parallel.batch import _prep_params, pack_stacked
+
+    if st.fused_passes is None:
+        raise ValueError("cyclic modulation graph needs the compat engine")
+    if "fm_delayed" not in st.params:
+        st = pack_stacked(st)
+    if noise is None:
+        noise = noise_stream(st.num_blocks * st.block)
+    params = _prep_params(st)
+    Vp = params["amp"].shape[-1]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if exact is None:
+        exact = jax.default_backend() == "cpu"
+    if use_pallas:
+        from skred_tpu.engine.kernels import LANES
+
+        per = LANES // Vp if LANES % Vp == 0 else LANES
+        pad_b = (-st.batch) % max(per, 1)
+        if pad_b:
+            rep = lambda a: np.concatenate(
+                [a, np.repeat(a[-1:], pad_b, axis=0)], axis=0)
+            params = {k: rep(np.asarray(v)) for k, v in params.items()}
+            st = dataclasses.replace(
+                st, ops={k: rep(np.asarray(v)) for k, v in st.ops.items()},
+                seg_of_block=rep(np.asarray(st.seg_of_block)),
+                seg_is_start=rep(np.asarray(st.seg_is_start)),
+                batch=st.batch + pad_b)
+    params = {k: jnp_.asarray(v) for k, v in params.items()}
+    ops = {k: jnp_.asarray(v) for k, v in st.ops.items()}
+    return _fused_jit(params, ops, jnp_.asarray(st.seg_of_block),
+                      jnp_.asarray(st.seg_is_start),
+                      jnp_.asarray(st.table_buffer), jnp_.asarray(noise),
+                      num_blocks=st.num_blocks, block=st.block,
+                      mod_passes=st.fused_passes, capture=False, exact=exact,
+                      use_pallas=use_pallas)
+
+
+def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
+                 capture: bool = False, exact: Optional[bool] = None,
+                 use_pallas: Optional[bool] = None, pack: bool = True):
+    """Render a StackedTimelines batch with the fused engine → [B, T, 2]."""
+    from skred_tpu.parallel.batch import _prep_params, pack_stacked
+
+    if st.fused_passes is None:
+        raise ValueError(
+            "cyclic modulation graph: 1-sample feedback loops require the "
+            "compat scan engine (render_stacked)")
+    if "fm_delayed" not in st.params:
+        st = pack_stacked(st, pack=pack)
+    total = st.num_blocks * st.block
+    if noise is None:
+        noise = noise_stream(total)
+    params = _prep_params(st)
+    Vp = params["amp"].shape[-1]
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    batch = st.batch
+    pad_b = 0
+    if use_pallas:
+        # pallas lanes: batch·Vp must be a multiple of kernels.LANES
+        from skred_tpu.engine.kernels import LANES
+
+        per = LANES // Vp if LANES % Vp == 0 else LANES
+        pad_b = (-batch) % max(per, 1)
+        if pad_b:
+            rep = lambda a: np.concatenate(
+                [a, np.repeat(a[-1:], pad_b, axis=0)], axis=0)
+            params = {k: rep(np.asarray(v)) for k, v in params.items()}
+            st = dataclasses.replace(
+                st,
+                ops={k: rep(np.asarray(v)) for k, v in st.ops.items()},
+                seg_of_block=rep(np.asarray(st.seg_of_block)),
+                seg_is_start=rep(np.asarray(st.seg_is_start)),
+                batch=batch + pad_b,
+            )
+
+    if mesh is not None:
+        pspec = jax.sharding.PartitionSpec("dp")
+        bsh = jax.sharding.NamedSharding(mesh, pspec)
+        rsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        put_b = lambda a: jax.device_put(np.asarray(a), bsh)
+        put_r = lambda a: jax.device_put(np.asarray(a), rsh)
+    else:
+        put_b = put_r = jnp.asarray
+
+    if exact is None:
+        exact = jax.default_backend() == "cpu"
+    params = {k: put_b(v) for k, v in params.items()}
+    ops = {k: put_b(v) for k, v in st.ops.items()}
+    outs = _fused_jit(params, ops, put_b(st.seg_of_block),
+                      put_b(st.seg_is_start), put_r(st.table_buffer),
+                      put_r(noise), num_blocks=st.num_blocks, block=st.block,
+                      mod_passes=st.fused_passes, capture=capture, exact=exact,
+                      use_pallas=use_pallas)
+    if capture:
+        out, cap = outs
+        return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],
+                np.asarray(cap))
+    # outs: [NB, B, N, 2] → [B, T, 2]
+    return np.asarray(outs).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch]

@@ -66,7 +66,9 @@ class Timeline:
     ops: dict                             # name → [S, V]
     table_buffer: np.ndarray              # packed f32 tables
     table_offsets: np.ndarray             # [num_tables] int32
+    table_arrays: List[np.ndarray]        # the bound tables (identity-dedupable)
     mod_passes: int
+    fused_passes: Optional[int]           # None → cyclic mod graph
     final_engine: HostEngine              # post-simulation state (round-trip/debug)
 
     @property
@@ -123,6 +125,54 @@ class _SeqSim:
                 e.seq_pointer[p] = 0
 
 
+def _mod_edges(e: HostEngine, n: int):
+    """Modulator reads of voice n whose *value* depends on the modulator
+    (synth.c:548-602).  Zero-depth reads are constant (the read happens in
+    C but multiplies to zero) and create no dataflow edge — important
+    because cz_mod_osc defaults to 0 for every voice (never reset)."""
+    edges = []
+    fm = int(e.freq_mod_osc[n])
+    if fm >= 0 and fm != n and e.freq_mod_depth[n] != 0:
+        edges.append(fm)
+    am = int(e.amp_mod_osc[n])
+    if am >= 0 and am != n and e.amp_mod_depth[n] != 0:
+        edges.append(am)
+    pm = int(e.pan_mod_osc[n])
+    if pm >= 0 and pm != n and e.disconnect[n] == 0 and e.pan_mod_depth[n] != 0:
+        edges.append(pm)
+    cm = int(e.cz_mod_osc[n])
+    if cm >= 0 and cm != n and e.cz_mode[n] != 0 and e.cz_mod_depth[n] != 0:
+        edges.append(cm)
+    return edges
+
+
+def _fused_passes(e: HostEngine):
+    """Block-level fixed-point passes for the fused engine: longest chain
+    over ALL modulation edges (a delayed read still needs the modulator's
+    current block).  None if the graph is cyclic (1-sample feedback loops
+    are not block-parallelizable)."""
+    depth = [None] * V
+    visiting = [False] * V
+
+    def dfs(n):
+        if depth[n] is not None:
+            return depth[n]
+        if visiting[n]:
+            raise ValueError("cycle")
+        visiting[n] = True
+        d = 0
+        for m in _mod_edges(e, n):
+            d = max(d, dfs(m) + 1)
+        visiting[n] = False
+        depth[n] = d
+        return d
+
+    try:
+        return 1 + max(dfs(n) for n in range(V))
+    except ValueError:
+        return None
+
+
 def _mod_passes(e: HostEngine) -> int:
     """Fixed-point passes needed for serial in-frame mod order
     (synth.c:548-602): voice n reading modulator m<n sees m's *current*
@@ -177,9 +227,10 @@ def compile_script(
     seg_of_block = np.zeros(num_blocks, dtype=np.int32)
     seg_is_start = np.zeros(num_blocks, dtype=bool)
     mod_passes = 1
+    fused_passes: Optional[int] = 1
 
     def snapshot() -> None:
-        nonlocal mod_passes
+        nonlocal mod_passes, fused_passes
         p = {}
         for name in PARAM_F32:
             p[name] = getattr(e, name).copy()
@@ -194,6 +245,9 @@ def compile_script(
         e.ops.clear()
         e.dirty = False
         mod_passes = max(mod_passes, _mod_passes(e))
+        fp = _fused_passes(e)
+        fused_passes = None if (fp is None or fused_passes is None) \
+            else max(fused_passes, fp)
 
     snapshot()  # segment 0 ← initial script state
     for k in range(num_blocks):
@@ -232,7 +286,8 @@ def compile_script(
         seg_of_block=seg_of_block, seg_is_start=seg_is_start,
         params=params, ops=ops,
         table_buffer=buffer, table_offsets=offsets,
-        mod_passes=mod_passes, final_engine=e,
+        table_arrays=list(e.table_list),
+        mod_passes=mod_passes, fused_passes=fused_passes, final_engine=e,
     )
 
 

@@ -38,6 +38,7 @@ class StackedTimelines:
     num_blocks: int
     block: int
     mod_passes: int
+    fused_passes: Optional[int]
     batch: int
 
 
@@ -48,15 +49,25 @@ def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
     num_blocks = tls[0].num_blocks
     max_s = max(tl.num_segments for tl in tls)
 
-    # shared table buffer: concatenate each script's packed tables and
-    # rebase its per-voice offsets
-    buffers, bases = [], []
-    off = 0
+    # shared table buffer with identity dedup: scripts sharing a bank share
+    # the same table objects (procedural waves, ROMs, PCM, loaded WAVs) —
+    # store each once and point every script's slots at the global copy
+    uniq: dict = {}
+    chunks = []
+    goff = 0
+    script_offmaps = []
     for tl in tls:
-        bases.append(off)
-        buffers.append(tl.table_buffer)
-        off += tl.table_buffer.size
-    table_buffer = np.concatenate(buffers).astype(np.float32)
+        offmap = np.zeros(max(len(tl.table_arrays), 1), dtype=np.int32)
+        for i, arr in enumerate(tl.table_arrays):
+            key = id(arr)
+            if key not in uniq:
+                uniq[key] = goff
+                chunks.append(np.asarray(arr, dtype=np.float32))
+                goff += arr.size
+            offmap[i] = uniq[key]
+        script_offmaps.append(offmap)
+    table_buffer = (np.concatenate(chunks).astype(np.float32)
+                    if chunks else np.zeros(1, np.float32))
 
     def pad_seg(a: np.ndarray, s: int) -> np.ndarray:
         if a.shape[0] == s:
@@ -68,9 +79,9 @@ def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
     names = set(tls[0].params) | {"table_off"}
     for name in names:
         rows = []
-        for tl, base in zip(tls, bases):
+        for tl, offmap in zip(tls, script_offmaps):
             if name == "table_off":
-                a = (tl.table_offsets[tl.params["table_key"]] + base).astype(np.int32)
+                a = offmap[tl.params["table_key"]].astype(np.int32)
             else:
                 a = tl.params[name]
             rows.append(pad_seg(a, max_s))
@@ -93,6 +104,8 @@ def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
         table_buffer=table_buffer,
         num_blocks=num_blocks, block=block,
         mod_passes=max(tl.mod_passes for tl in tls),
+        fused_passes=(None if any(tl.fused_passes is None for tl in tls)
+                      else max(tl.fused_passes for tl in tls)),
         batch=len(tls),
     )
 
@@ -152,6 +165,102 @@ def render_batch(scripts: List[pathlib.Path], seconds: float,
         for p, audio in zip(scripts, out):
             write_wav_16(outdir / (p.stem + ".wav"), audio)
     return out
+
+
+_MOD_TYPES = ("freq_mod_osc", "amp_mod_osc", "pan_mod_osc", "cz_mod_osc")
+
+
+def _relevant_voices(params: dict) -> np.ndarray:
+    """Voices that can influence output: active in any segment, plus the
+    transitive closure of their modulation sources (a read of an inactive
+    source still yields a 0 multiplier — the edge matters)."""
+    amp = params["amp"]              # [S, V]
+    nseg, nv = amp.shape
+    rel = set(np.where((amp != 0).any(axis=0))[0].tolist())
+    frontier = list(rel)
+    while frontier:
+        nxt = []
+        for name in _MOD_TYPES:
+            osc = params[name]
+            for v in frontier:
+                for s in range(nseg):
+                    m = int(osc[s, v])
+                    if m >= 0 and m not in rel:
+                        rel.add(m)
+                        nxt.append(m)
+        frontier = nxt
+    return np.array(sorted(rel), dtype=np.int32)
+
+
+def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
+    """Pack each script's relevant voices densely (fused-engine layout).
+
+    The serial in-frame modulation order (synth.c:526: current-sample read
+    iff modulator index < reader index) is preserved through explicit
+    per-edge ``*_delayed`` / ``*_self`` flags computed from the ORIGINAL
+    indices, so renumbering is transparent.  Irrelevant voices (never
+    audible, never read) are dropped — the per-sample table gather is the
+    TPU throughput ceiling and scales with packed voice count."""
+    B = st.batch
+    if pack:
+        perms = [
+            _relevant_voices({k: v[b] for k, v in st.params.items()})
+            for b in range(B)
+        ]
+        vmax = max((len(p) for p in perms), default=1)
+        vp = 1
+        while vp < vmax:
+            vp *= 2
+        vp = min(vp, V)
+    else:
+        perms = [np.arange(V, dtype=np.int32) for _ in range(B)]
+        vp = V
+
+    def pack_arr(a, perm, fill=0):
+        out = np.full(a.shape[:-1] + (vp,), fill, dtype=a.dtype)
+        out[..., : len(perm)] = a[..., perm]
+        return out
+
+    new_params = {k: [] for k in st.params}
+    for extra in ("fm_delayed", "cm_delayed", "am_delayed", "pm_delayed",
+                  "fm_self", "am_self", "pm_self"):
+        new_params[extra] = []
+    new_ops = {k: [] for k in st.ops}
+    for b in range(B):
+        perm = perms[b]
+        inv = np.full(V, -1, dtype=np.int32)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        for k, arr in st.params.items():
+            a = arr[b]
+            if a.ndim == 1:          # scalar per segment (volume_final)
+                new_params[k].append(a)
+                continue
+            p = pack_arr(a, perm)
+            if k in _MOD_TYPES:
+                old = p                       # original target indices
+                remapped = np.where(old >= 0, inv[np.maximum(old, 0)], -1)
+                new_params[k].append(remapped.astype(np.int32))
+                orig_n = np.broadcast_to(perm[None, :len(perm)],
+                                         (a.shape[0], len(perm)))
+                flag = np.zeros(old.shape, dtype=np.int32)
+                flag[..., :len(perm)] = (old[..., :len(perm)] >= orig_n)
+                selff = np.zeros(old.shape, dtype=np.int32)
+                selff[..., :len(perm)] = (old[..., :len(perm)] == orig_n)
+                key = {"freq_mod_osc": "fm", "amp_mod_osc": "am",
+                       "pan_mod_osc": "pm", "cz_mod_osc": "cm"}[k]
+                new_params[key + "_delayed"].append(flag)
+                if key in ("fm", "am", "pm"):
+                    new_params[key + "_self"].append(selff)
+            else:
+                new_params[k].append(p)
+        for k, arr in st.ops.items():
+            a = pack_arr(arr[b], perm, fill=-1 if k == "copy_hold_from" else 0)
+            if k == "copy_hold_from":
+                a = np.where(a >= 0, inv[np.maximum(a, 0)], -1).astype(np.int32)
+            new_ops[k].append(a)
+    params = {k: np.stack(v) for k, v in new_params.items()}
+    ops = {k: np.stack(v) for k, v in new_ops.items()}
+    return dataclasses.replace(st, params=params, ops=ops)
 
 
 def make_mesh(n_devices: Optional[int] = None) -> jax.sharding.Mesh:

@@ -41,6 +41,11 @@ def mint(script: str, seconds: float, extra=()) -> np.ndarray:
     return np.fromfile(f, dtype=np.float32).reshape(-1, 2)
 
 
+FUSED = "--fused" in sys.argv
+if FUSED:
+    sys.argv.remove("--fused")
+
+
 def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
     golden = mint(script, seconds, extra)
     lines = (REF / script).read_text().splitlines()
@@ -51,7 +56,13 @@ def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
         raise NotImplementedError
     t_compile = time.time() - t0
     t0 = time.time()
-    out = render_timeline(tl)
+    if FUSED:
+        from skred_tpu.engine.fused import render_fused
+        from skred_tpu.parallel.batch import stack_timelines
+
+        out = render_fused(stack_timelines([tl]))[0]
+    else:
+        out = render_timeline(tl)
     t_render = time.time() - t0
     n = min(len(out), len(golden))
     err = float(np.abs(out[:n] - golden[:n]).max()) if n else 0.0
