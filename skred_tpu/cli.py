@@ -70,7 +70,40 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_render_midi(args) -> int:
+    _force_platform(args.platform)
+    import numpy as np  # noqa: F401
+
+    from skred_tpu.assets import WaveBank, bank as bank_mod
+    from skred_tpu.engine import render_timeline
+    from skred_tpu.frontends.midi import midi_events
+    from skred_tpu.host.timeline import compile_script
+
+    events = midi_events(args.midi)
+    if not events:
+        print("# no note events in MIDI file")
+        return 1
+    seconds = args.seconds or (events[-1][0] + 2.0)
+    lines = []
+    sdir = pathlib.Path(args.midi).resolve().parent
+    if args.patch:
+        patch = pathlib.Path(args.patch)
+        lines = patch.read_text().splitlines()
+        sdir = patch.resolve().parent
+    else:
+        chans = sorted({int(l.split()[0][1:]) for _, l in events})
+        lines = [f"v{c} w0 a4 t0.005,0.05,0.7,0.2" for c in chans]
+    tl = compile_script(lines, seconds, bank=WaveBank(), script_dir=sdir,
+                        events=events)
+    audio = render_timeline(tl)
+    out = pathlib.Path(args.out or pathlib.Path(args.midi).stem + ".wav")
+    bank_mod.write_wav_16(out, audio)
+    print(f"# rendered {len(events)} MIDI events over {seconds:.2f}s -> {out}")
+    return 0
+
+
 def cmd_repl(args) -> int:
+    _force_platform(args.platform)
     from skred_tpu.frontends.repl import main as repl_main
 
     return repl_main(seconds=args.seconds)
@@ -95,6 +128,16 @@ def main(argv=None) -> int:
     b.add_argument("--seconds", type=float, default=10.0)
     b.add_argument("--outdir", default="renders")
     b.set_defaults(fn=cmd_batch)
+
+    m = sub.add_parser("render-midi",
+                       help="render a Standard MIDI File through a patch")
+    m.add_argument("midi")
+    m.add_argument("--patch", default=None,
+                   help=".sk script defining the voices (else sine defaults)")
+    m.add_argument("--seconds", type=float, default=None,
+                   help="render length (default: last event + 2s)")
+    m.add_argument("--out", default=None)
+    m.set_defaults(fn=cmd_render_midi)
 
     p = sub.add_parser("repl", help="interactive wire REPL (offline)")
     p.add_argument("--seconds", type=float, default=4.0,

@@ -77,18 +77,29 @@ class Timeline:
 
 
 class _SeqSim:
-    """seq() + queue drain simulation (seq.c:164-213)."""
+    """seq() + queue drain simulation (seq.c:164-213), plus an external
+    event track (the offline analog of the UDP/MIDI control plane:
+    time-stamped wire lines executed at callback boundaries)."""
 
-    def __init__(self, engine: HostEngine, script_dir: Optional[pathlib.Path]):
+    def __init__(self, engine: HostEngine, script_dir: Optional[pathlib.Path],
+                 events: Optional[List] = None):
         self.e = engine
         # the two static contexts in seq.c
         self.qctx = WireContext(engine, script_dir)   # seq.c:170 'v'
         self.cctx = WireContext(engine, script_dir)   # seq.c:180 'w'
+        self.ectx = WireContext(engine, script_dir)   # external-event session
+        self.events = sorted(events or [])            # [(sample, line)]
+        self.event_pos = 0
 
     def tick(self, frame_count: int) -> None:
         e = self.e
-        # --- drain due queue items (seq.c:171-177) ---
         limit = e.sample_count + frame_count
+        # --- external control events (UDP/MIDI analog) ---
+        while (self.event_pos < len(self.events)
+               and self.events[self.event_pos][0] <= limit):
+            self.ectx.wire(self.events[self.event_pos][1])
+            self.event_pos += 1
+        # --- drain due queue items (seq.c:171-177) ---
         for q in range(C.QUEUE_SIZE):
             if e.queue_state[q] == C.Q_READY and int(e.queue_when[q]) <= limit:
                 e.queue_state[q] = C.Q_USING
@@ -209,9 +220,13 @@ def compile_script(
     script_dir: Optional[pathlib.Path] = None,
     block: int = C.SYNTH_FRAMES_PER_CALLBACK,
     engine: Optional[HostEngine] = None,
+    events: Optional[List] = None,
 ) -> Timeline:
     """Execute script text at t=0 then simulate the control plane for the
-    full render duration, producing the device timeline."""
+    full render duration, producing the device timeline.
+
+    ``events``: optional [(seconds, wire_line)] external control track
+    (MIDI files, recorded UDP sessions) executed at callback boundaries."""
     e = engine or HostEngine(bank.fork() if bank is not None else None)
     top = WireContext(e, script_dir)
     for line in lines:
@@ -220,7 +235,9 @@ def compile_script(
     total_frames = int(seconds * C.MAIN_SAMPLE_RATE)
     num_blocks = (total_frames + block - 1) // block
 
-    sim = _SeqSim(e, script_dir)
+    ev_samples = [(int(t * C.MAIN_SAMPLE_RATE), line)
+                  for t, line in (events or [])]
+    sim = _SeqSim(e, script_dir, events=ev_samples)
 
     seg_params: List[dict] = []
     seg_ops: List[dict] = []

@@ -50,6 +50,7 @@ class WireContext:
         self.trace = 0
         self.debug = 0
         self.verbose = 0
+        self.events = 0   # mirror lines to engine.event_log (perf firehose)
         self.quit = 0
         self.defer_last = np.float32(0.0)
         self.defer_sample_time = 0
@@ -79,6 +80,10 @@ class WireContext:
         if self.sk is None:
             self.sk = sk.Skode(self._cb, self)
             self.sk.set_global(self.engine.global_var)
+        if self.events:
+            log = getattr(self.engine, "event_log", None)
+            if log is not None:
+                log.send(self.engine.sample_count, line)
         self.sk.feed(line)
         return self.quit
 
@@ -279,7 +284,11 @@ class WireContext:
             if argc:
                 e.wave_set(voice, x)
         elif atom == "W___":
-            pass  # wavetable_show — host observability only
+            if argc:
+                from skred_tpu.host.observe import wavetable_show
+                txt = wavetable_show(e.bank, x)
+                if txt:
+                    self._print(txt)
         elif atom == "x___":
             if argc:
                 if x < 0:
@@ -325,8 +334,16 @@ class WireContext:
         elif atom == "g>l_":
             if argc:
                 s.global_to_local(x)
-        elif atom in ("/m__", ":m__", "/s__", ":s__", "/S__", ":S__", "/o__", ":o__"):
-            pass  # bench/observability/scope — host-side no-ops here
+        elif atom in ("/s__", ":s__"):
+            if self.output:
+                from skred_tpu.host.observe import system_show
+                self._print(system_show(e))
+        elif atom in ("/S__", ":S__"):
+            if self.output:
+                from skred_tpu.host.observe import queue_show
+                self._print(queue_show(e))
+        elif atom in ("/m__", ":m__", "/o__", ":o__"):
+            pass  # RT latency probe / live scope — no real-time plane here
         elif atom in ("/q__", ":q__"):
             self.quit = -1
             return 0
@@ -363,6 +380,10 @@ class WireContext:
                 rec_total = np.float32(30.0)   # matches golden driver rec_sec
                 if max_sec > rec_total:
                     max_sec = rec_total
+                e.rec_cap_samples = int(
+                    np.float32(max_sec * np.float32(C.MAIN_SAMPLE_RATE)))
+            else:
+                e.rec_cap_samples = 30 * C.MAIN_SAMPLE_RATE
             e.rec_ptr = 0
             e.rec_start_sample = e.sample_count
             e.rec_state = 1
