@@ -184,6 +184,62 @@ def _fused_passes(e: HostEngine):
         return None
 
 
+def _edges_from_arrays(seg: dict, n: int):
+    """_mod_edges on raw per-segment param arrays (native-compiler path)."""
+    edges = []
+    fm = int(seg["freq_mod_osc"][n])
+    if fm >= 0 and fm != n and seg["freq_mod_depth"][n] != 0:
+        edges.append(fm)
+    am = int(seg["amp_mod_osc"][n])
+    if am >= 0 and am != n and seg["amp_mod_depth"][n] != 0:
+        edges.append(am)
+    pm = int(seg["pan_mod_osc"][n])
+    if pm >= 0 and pm != n and seg["disconnect"][n] == 0 \
+            and seg["pan_mod_depth"][n] != 0:
+        edges.append(pm)
+    cm = int(seg["cz_mod_osc"][n])
+    if cm >= 0 and cm != n and seg["cz_mode"][n] != 0 \
+            and seg["cz_mod_depth"][n] != 0:
+        edges.append(cm)
+    return edges
+
+
+def _mod_passes_arrays(seg: dict) -> int:
+    depth = [0] * V
+    k = 1
+    for n in range(V):
+        d = 0
+        for m in _edges_from_arrays(seg, n):
+            if m < n:
+                d = max(d, depth[m] + 1)
+        depth[n] = d
+        k = max(k, d + 1)
+    return k
+
+
+def _fused_passes_arrays(seg: dict):
+    depth = [None] * V
+    visiting = [False] * V
+
+    def dfs(n):
+        if depth[n] is not None:
+            return depth[n]
+        if visiting[n]:
+            raise ValueError("cycle")
+        visiting[n] = True
+        d = 0
+        for m in _edges_from_arrays(seg, n):
+            d = max(d, dfs(m) + 1)
+        visiting[n] = False
+        depth[n] = d
+        return d
+
+    try:
+        return 1 + max(dfs(n) for n in range(V))
+    except ValueError:
+        return None
+
+
 def _mod_passes(e: HostEngine) -> int:
     """Fixed-point passes needed for serial in-frame mod order
     (synth.c:548-602): voice n reading modulator m<n sees m's *current*
@@ -191,21 +247,8 @@ def _mod_passes(e: HostEngine) -> int:
     depth = [0] * V
     k = 1
     for n in range(V):
-        edges = []
-        fm = int(e.freq_mod_osc[n])
-        if fm >= 0 and fm != n:
-            edges.append(fm)
-        am = int(e.amp_mod_osc[n])
-        if am >= 0:
-            edges.append(am)
-        pm = int(e.pan_mod_osc[n])
-        if pm >= 0 and e.disconnect[n] == 0:
-            edges.append(pm)
-        cm = int(e.cz_mod_osc[n])
-        if cm >= 0 and e.cz_mode[n] != 0:   # cz read gated on cz mode (synth.c:262)
-            edges.append(cm)
         d = 0
-        for m in edges:
+        for m in _mod_edges(e, n):
             if m < n:
                 d = max(d, depth[m] + 1)
         depth[n] = d
