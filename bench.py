@@ -56,7 +56,7 @@ def main() -> None:
             continue
         st1 = pack_stacked(stack_timelines([tl]))
         vp = st1.params["amp"].shape[-1]
-        buckets.setdefault(vp, []).append(tl)
+        buckets.setdefault((vp, tl.fused_passes), []).append(tl)
 
     noise = noise_stream(tls[0].num_blocks * tls[0].block)
     noise_dev = jnp.asarray(noise)
@@ -65,7 +65,7 @@ def main() -> None:
     total_wall = 0.0
     detail = []
     checksum = 0.0
-    for vp, group in sorted(buckets.items()):
+    for (vp, passes), group in sorted(buckets.items()):
         group = group * REPLICAS
         st = pack_stacked(stack_timelines(group))
         # warmup/compile
@@ -78,8 +78,8 @@ def main() -> None:
         audio = st.batch * st.num_blocks * st.block / 44100.0
         total_audio += audio
         total_wall += wall
-        detail.append({"voices": int(vp), "scripts": len(group),
-                       "wall_s": round(wall, 3),
+        detail.append({"voices": int(vp), "passes": int(passes),
+                       "scripts": len(group), "wall_s": round(wall, 3),
                        "x_rt": round(audio / wall, 1)})
     if compat_tls:
         from skred_tpu.parallel.batch import render_stacked

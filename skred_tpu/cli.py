@@ -44,7 +44,13 @@ def cmd_render(args) -> int:
     tl = compile_script(lines, args.seconds, bank=bank, script_dir=script_dir)
     t_compile = time.time() - t0
     t0 = time.time()
-    out = render_timeline(tl)
+    if args.engine == "fused" and tl.fused_passes is not None:
+        from skred_tpu.engine.fused import render_fused
+        from skred_tpu.parallel.batch import stack_timelines
+
+        out = render_fused(stack_timelines([tl]))[0]
+    else:
+        out = render_timeline(tl)
     t_render = time.time() - t0
     dur = len(out) / 44100.0
     print(f"# compiled {tl.num_segments} segments in {t_compile:.2f}s; "
@@ -121,6 +127,8 @@ def main(argv=None) -> int:
     r.add_argument("--out", default=None, help=".wav or .f32 output path")
     r.add_argument("-e", "--execute", action="append",
                    help="extra wire command after the script")
+    r.add_argument("--engine", choices=("compat", "fused"), default="compat",
+                   help="compat = bit-exact scan engine; fused = fast")
     r.set_defaults(fn=cmd_render)
 
     b = sub.add_parser("batch", help="batch-render many scripts")

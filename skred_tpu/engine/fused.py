@@ -459,14 +459,8 @@ def _apply_ops_b(carry, ops, flag):
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "block",
-                                             "mod_passes", "capture", "exact",
-                                             "use_pallas"))
-def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
-               num_blocks, block, mod_passes, capture, exact=False,
-               use_pallas=False):
-    B, _, Vp = params["amp"].shape
-    carry0 = dict(
+def make_carry0(B, Vp):
+    return dict(
         phase=jnp.zeros((B, Vp), F32), finished=jnp.zeros((B, Vp), I32),
         sample=jnp.zeros((B, Vp), F32), hold_count=jnp.zeros((B, Vp), I32),
         hold_val=jnp.zeros((B, Vp), F32),
@@ -476,12 +470,45 @@ def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
         pan_r=jnp.zeros((B, Vp), F32), vol_gain=jnp.zeros((B,), F32),
     )
 
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "block",
+                                             "mod_passes", "capture", "exact",
+                                             "use_pallas"))
+def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
+               num_blocks, block, mod_passes, capture, exact=False,
+               use_pallas=False):
+    B, _, Vp = params["amp"].shape
+    carry0 = make_carry0(B, Vp)
+    _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
+                          table_buffer, noise, 0, num_blocks, block,
+                          mod_passes, capture, exact, use_pallas)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "block",
+                                             "mod_passes", "exact",
+                                             "use_pallas"))
+def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
+                     table_buffer, noise, block0, num_blocks, block,
+                     mod_passes, exact=False, use_pallas=False):
+    """One streaming chunk: render `num_blocks` blocks starting at global
+    block index `block0` (traced), carrying state in/out."""
+    return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
+                       table_buffer, noise, block0, num_blocks, block,
+                       mod_passes, False, exact, use_pallas)
+
+
+def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
+                noise, block0, num_blocks, block, mod_passes, capture, exact,
+                use_pallas):
+    B, _, Vp = params["amp"].shape
+
     def block_step(carry, k):
         seg = seg_of_block[:, k]                    # [B]
         p = {name: arr[jnp.arange(B), seg] for name, arr in params.items()}
         o = {name: arr[jnp.arange(B), seg] for name, arr in ops.items()}
         carry = _apply_ops_b(carry, o, seg_is_start[:, k][:, None])
-        counts = (k * block + 1 + jnp.arange(block)).astype(I32)
+        counts = ((block0 + k) * block + 1 + jnp.arange(block)).astype(I32)
         nblk = jax.lax.dynamic_slice_in_dim(noise, k * block, block)
 
         est = jnp.broadcast_to(carry["sample"][..., None],
@@ -505,7 +532,45 @@ def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
         return new_carry, out
 
     carry, outs = jax.lax.scan(block_step, carry0, jnp.arange(num_blocks))
-    return outs
+    return carry, outs
+
+
+def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
+                        exact: Optional[bool] = None,
+                        use_pallas: Optional[bool] = None):
+    """Generator yielding rendered chunks [B, chunk_blocks*block, 2] —
+    O(chunk) device memory regardless of render length (the offline
+    analog of the reference's bounded callback ring; state carries in a
+    pytree exactly as across callbacks)."""
+    from skred_tpu.parallel.batch import _prep_params, pack_stacked
+
+    if st.fused_passes is None:
+        raise ValueError("cyclic modulation graph needs the compat engine")
+    if "fm_delayed" not in st.params:
+        st = pack_stacked(st)
+    params = {k: jnp.asarray(v) for k, v in _prep_params(st).items()}
+    ops = {k: jnp.asarray(v) for k, v in st.ops.items()}
+    Vp = params["amp"].shape[-1]
+    B = st.batch
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if exact is None:
+        exact = jax.default_backend() == "cpu"
+    table = jnp.asarray(st.table_buffer)
+    carry = make_carry0(B, Vp)
+    sob = np.asarray(st.seg_of_block)
+    sis = np.asarray(st.seg_is_start)
+    for b0 in range(0, st.num_blocks, chunk_blocks):
+        nb = min(chunk_blocks, st.num_blocks - b0)
+        n = noise_stream(nb * st.block, start=b0 * st.block) \
+            if noise is None else noise[b0 * st.block:(b0 + nb) * st.block]
+        carry, outs = _fused_chunk_jit(
+            carry, params, ops,
+            jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
+            table, jnp.asarray(n), jnp.int32(b0),
+            num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
+            exact=exact, use_pallas=use_pallas)
+        yield np.asarray(outs).swapaxes(0, 1).reshape(B, nb * st.block, 2)
 
 
 def render_fused_device(st, noise=None, exact: Optional[bool] = None,

@@ -307,6 +307,7 @@ def _apply_ops(carry, ops, apply_flag):
 
 def _render_core(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                  num_blocks, block, mod_passes, capture, exact=True):
+    table_buffer = jnp.asarray(table_buffer)   # indexable by traced values
     carry0 = dict(
         phase=jnp.zeros(V, F32), finished=jnp.zeros(V, I32),
         sample=jnp.zeros(V, F32), hold_count=jnp.zeros(V, I32),

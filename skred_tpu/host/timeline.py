@@ -351,13 +351,24 @@ def compile_script(
     )
 
 
-def noise_stream(total_samples: int) -> np.ndarray:
+def noise_stream(total_samples: int, start: int = 0) -> np.ndarray:
     """The shared per-sample 'whiteish' LCG stream (synth.c:508,525),
-    seeded 1 — one draw per sample regardless of voices."""
+    seeded 1 — one draw per sample regardless of voices.  ``start`` jumps
+    the stream in O(log start) (affine-map exponentiation)."""
     A = np.uint64(6364136223846793005)
     Cc = np.uint64(1442695040888963407)
     out = np.empty(total_samples, dtype=np.uint64)
-    s = np.uint64(1)
+    # jump: state after `start` draws from seed 1
+    M = (1 << 64) - 1
+    a, c = 1, 0                 # identity affine map s -> a*s + c
+    pa, pc = 6364136223846793005, 1442695040888963407
+    k = start
+    while k:
+        if k & 1:
+            a, c = (pa * a) & M, (pa * c + pc) & M
+        pa, pc = (pa * pa) & M, (pa * pc + pc) & M
+        k >>= 1
+    s = np.uint64((a * 1 + c) & M)
     CHUNK = 65536
     offs_a = np.empty(CHUNK, dtype=np.uint64)
     offs_c = np.empty(CHUNK, dtype=np.uint64)
