@@ -27,6 +27,17 @@ REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: TPU compiles through the tunnel cost
+    # 40-120 s per shape; cached runs skip them entirely
+    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from skred_tpu.assets import WaveBank
@@ -66,7 +77,9 @@ def main() -> None:
     detail = []
     checksum = 0.0
     for (vp, passes), group in sorted(buckets.items()):
-        group = group * REPLICAS
+        # fill each bucket to a batch that amortizes per-block overheads
+        reps = max(REPLICAS, -(-256 // len(group)))
+        group = group * reps
         st = pack_stacked(stack_timelines(group))
         # warmup/compile
         out = render_fused_device(st, noise=noise_dev)

@@ -473,34 +473,34 @@ def make_carry0(B, Vp):
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "capture", "exact",
-                                             "use_pallas"))
+                                             "use_pallas", "n_src"))
 def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                num_blocks, block, mod_passes, capture, exact=False,
-               use_pallas=False):
+               use_pallas=False, n_src=0):
     B, _, Vp = params["amp"].shape
     carry0 = make_carry0(B, Vp)
     _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
                           table_buffer, noise, 0, num_blocks, block,
-                          mod_passes, capture, exact, use_pallas)
+                          mod_passes, capture, exact, use_pallas, n_src)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "exact",
-                                             "use_pallas"))
+                                             "use_pallas", "n_src"))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
-                     mod_passes, exact=False, use_pallas=False):
+                     mod_passes, exact=False, use_pallas=False, n_src=0):
     """One streaming chunk: render `num_blocks` blocks starting at global
     block index `block0` (traced), carrying state in/out."""
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
-                       mod_passes, False, exact, use_pallas)
+                       mod_passes, False, exact, use_pallas, n_src)
 
 
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
-                use_pallas):
+                use_pallas, n_src=0):
     B, _, Vp = params["amp"].shape
 
     def block_step(carry, k):
@@ -513,10 +513,27 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
 
         est = jnp.broadcast_to(carry["sample"][..., None],
                                (B, Vp, block)).astype(F32)
-        for _ in range(mod_passes):
-            samples, left, right, new_carry = _voice_block_pass(
-                est, carry, p, nblk, counts, table_buffer, exact, use_pallas)
-            est = samples
+        # early fixed-point passes only need modulator-source blocks — run
+        # them on the packed source prefix (the table gather is the TPU
+        # throughput ceiling; sources are few)
+        if n_src and n_src < Vp:
+            p_src = {kk: (vv[:, :n_src] if vv.ndim == 2 and vv.shape[1] == Vp
+                          else vv) for kk, vv in p.items()}
+            c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)
+                     for kk, vv in carry.items()}
+            for _ in range(mod_passes - 1):
+                s_src, _, _, _ = _voice_block_pass(
+                    est[:, :n_src], c_src, p_src, nblk, counts, table_buffer,
+                    exact, use_pallas)
+                est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
+        else:
+            for _ in range(mod_passes - 1):
+                samples, _, _, _ = _voice_block_pass(
+                    est, carry, p, nblk, counts, table_buffer, exact,
+                    use_pallas)
+                est = samples
+        samples, left, right, new_carry = _voice_block_pass(
+            est, carry, p, nblk, counts, table_buffer, exact, use_pallas)
 
         # ---- mix + volume smoother ----
         mix_l = left.sum(axis=1)                    # [B, N]
@@ -569,7 +586,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
             table, jnp.asarray(n), jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
-            exact=exact, use_pallas=use_pallas)
+            exact=exact, use_pallas=use_pallas, n_src=st.n_src)
         yield np.asarray(outs).swapaxes(0, 1).reshape(B, nb * st.block, 2)
 
 
@@ -597,7 +614,8 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
     if use_pallas:
         from skred_tpu.engine.kernels import LANES
 
-        per = LANES // Vp if LANES % Vp == 0 else LANES
+        vmin = min(Vp, st.n_src) if st.n_src else Vp
+        per = LANES // vmin if LANES % vmin == 0 else LANES
         pad_b = (-st.batch) % max(per, 1)
         if pad_b:
             rep = lambda a: np.concatenate(
@@ -615,7 +633,7 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                       jnp_.asarray(st.table_buffer), jnp_.asarray(noise),
                       num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=False, exact=exact,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, n_src=st.n_src)
 
 
 def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
@@ -644,7 +662,8 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
         # pallas lanes: batch·Vp must be a multiple of kernels.LANES
         from skred_tpu.engine.kernels import LANES
 
-        per = LANES // Vp if LANES % Vp == 0 else LANES
+        vmin = min(Vp, st.n_src) if st.n_src else Vp
+        per = LANES // vmin if LANES % vmin == 0 else LANES
         pad_b = (-batch) % max(per, 1)
         if pad_b:
             rep = lambda a: np.concatenate(
@@ -675,7 +694,7 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
                       put_b(st.seg_is_start), put_r(st.table_buffer),
                       put_r(noise), num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=capture, exact=exact,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, n_src=st.n_src)
     if capture:
         out, cap = outs
         return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],

@@ -40,6 +40,7 @@ class StackedTimelines:
     mod_passes: int
     fused_passes: Optional[int]
     batch: int
+    n_src: int = 0               # packed modulator-source prefix (fused)
 
 
 def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
@@ -153,16 +154,24 @@ def render_stacked(st: StackedTimelines, mesh: Optional[jax.sharding.Mesh] = Non
 def render_batch(scripts: List[pathlib.Path], seconds: float,
                  outdir: Optional[pathlib.Path] = None,
                  mesh: Optional[jax.sharding.Mesh] = None) -> np.ndarray:
+    """Batch-render scripts with per-script error isolation: a script that
+    fails to compile is skipped (reported) without killing the batch —
+    the analog of the reference's parse-and-survive stance."""
     bank = WaveBank()
-    tls = [
-        compile_script(p.read_text().splitlines(), seconds, bank=bank,
-                       script_dir=p.resolve().parent)
-        for p in scripts
-    ]
+    tls, ok_scripts = [], []
+    for p in scripts:
+        try:
+            tls.append(compile_script(p.read_text().splitlines(), seconds,
+                                      bank=bank, script_dir=p.resolve().parent))
+            ok_scripts.append(p)
+        except Exception as ex:   # noqa: BLE001 — isolate per script
+            print(f"# skipping {p}: {type(ex).__name__}: {ex}")
+    if not tls:
+        return np.zeros((0, 0, 2), np.float32)
     st = stack_timelines(tls)
     out = render_stacked(st, mesh=mesh)
     if outdir is not None:
-        for p, audio in zip(scripts, out):
+        for p, audio in zip(ok_scripts, out):
             write_wav_16(outdir / (p.stem + ".wav"), audio)
     return out
 
@@ -202,19 +211,49 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
     audible, never read) are dropped — the per-sample table gather is the
     TPU throughput ceiling and scales with packed voice count."""
     B = st.batch
+
+    def _sources(params_b, rel):
+        """Voices read by any relevant voice (transitively closed by
+        construction: a source's dependencies are themselves read)."""
+        src = set()
+        for name in _MOD_TYPES:
+            osc = params_b[name]
+            for v in rel:
+                for s in range(osc.shape[0]):
+                    m = int(osc[s, v])
+                    if m >= 0:
+                        src.add(m)
+        return src
+
     if pack:
-        perms = [
-            _relevant_voices({k: v[b] for k, v in st.params.items()})
-            for b in range(B)
-        ]
+        perms = []
+        n_srcs = []
+        for b in range(B):
+            pb = {k: v[b] for k, v in st.params.items()}
+            rel = _relevant_voices(pb)
+            src = _sources(pb, rel.tolist()) & set(rel.tolist())
+            # modulator sources first: early fixed-point passes only need
+            # their blocks, so the per-sample table gather (the TPU
+            # ceiling) runs on this prefix for passes 1..K-1
+            ordered = sorted(src) + sorted(set(rel.tolist()) - src)
+            perms.append(np.array(ordered, dtype=np.int32))
+            n_srcs.append(len(src))
         vmax = max((len(p) for p in perms), default=1)
         vp = 1
         while vp < vmax:
             vp *= 2
         vp = min(vp, V)
+        smax = max(n_srcs, default=0)
+        n_src = 0
+        if smax:
+            n_src = 1
+            while n_src < smax:
+                n_src *= 2
+        n_src = min(n_src, vp)
     else:
         perms = [np.arange(V, dtype=np.int32) for _ in range(B)]
         vp = V
+        n_src = V
 
     def pack_arr(a, perm, fill=0):
         out = np.full(a.shape[:-1] + (vp,), fill, dtype=a.dtype)
@@ -260,7 +299,7 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
             new_ops[k].append(a)
     params = {k: np.stack(v) for k, v in new_params.items()}
     ops = {k: np.stack(v) for k, v in new_ops.items()}
-    return dataclasses.replace(st, params=params, ops=ops)
+    return dataclasses.replace(st, params=params, ops=ops, n_src=n_src)
 
 
 def make_mesh(n_devices: Optional[int] = None) -> jax.sharding.Mesh:

@@ -1,0 +1,65 @@
+"""UDP wire server and scope artifact tests."""
+
+import socket
+import time
+
+import numpy as np
+
+from skred_tpu.host import HostEngine
+from skred_tpu.host.observe import scope_dump, system_show, wavetable_show
+from skred_tpu.frontends.udp import UdpServer, _hash_addr
+
+
+def test_udp_server_sessions(tmp_path):
+    engine = HostEngine()
+    rendered = {}
+
+    def on_render(history, sec, out):
+        rendered["history"] = list(history)
+        rendered["sec"] = sec
+
+    srv = UdpServer(engine, port=0, on_render=on_render)
+    # bind to an ephemeral port
+    srv.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.sock.bind(("127.0.0.1", 0))
+    srv.sock.settimeout(0.2)
+    port = srv.sock.getsockname()[1]
+    srv.running = True
+    import threading
+
+    t = threading.Thread(target=srv._loop, daemon=True)
+    t.start()
+    try:
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        c.sendto(b"v3 w0 f220 a5", ("127.0.0.1", port))
+        c.sendto(b"v4 a2", ("127.0.0.1", port))
+        c.sendto(b".render 1.5 out.wav", ("127.0.0.1", port))
+        deadline = time.time() + 3
+        while time.time() < deadline and "history" not in rendered:
+            time.sleep(0.05)
+    finally:
+        srv.stop()
+    assert float(engine.amp[3]) == 5.0
+    assert float(engine.freq[3]) == 220.0
+    assert float(engine.amp[4]) == 2.0
+    assert rendered["history"] == ["v3 w0 f220 a5", "v4 a2"]
+    assert rendered["sec"] == 1.5
+
+
+def test_udp_hash_stable():
+    ip = socket.inet_aton("127.0.0.1")
+    assert 0 <= _hash_addr(ip, 12345) < 127
+    assert _hash_addr(ip, 12345) == _hash_addr(ip, 12345)
+
+
+def test_observe_dumps(tmp_path):
+    e = HostEngine()
+    e.amp_set(0, 4.0)
+    txt = system_show(e)
+    assert "active voice count 1" in txt
+    assert "w0 size:4096" in wavetable_show(e.bank, 0)
+    audio = np.random.RandomState(0).randn(44100, 2).astype(np.float32) * 0.1
+    scope_dump(audio, tmp_path / "scope.npz")
+    z = np.load(tmp_path / "scope.npz")
+    assert z["left_avg"].shape == (800,)
+    assert (z["left_min"] <= z["left_max"]).all()
