@@ -25,6 +25,28 @@ SECONDS = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 
+def pad_segments_pow2(st):
+    """Pad the segment axis to a power of two (repeating the last segment)
+    so compiled shapes are duration-independent (cache-friendly)."""
+    import dataclasses
+
+    s = st.params["amp"].shape[1]
+    sp = 1
+    while sp < s:
+        sp *= 2
+    if sp == s:
+        return st
+    def pad(a):
+        a = np.asarray(a)
+        reps = np.repeat(a[:, -1:], sp - s, axis=1)
+        return np.concatenate([a, reps], axis=1)
+    return dataclasses.replace(
+        st,
+        params={k: pad(v) for k, v in st.params.items()},
+        ops={k: pad(v) for k, v in st.ops.items()},
+    )
+
+
 def main() -> None:
     import jax
 
@@ -41,7 +63,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from skred_tpu.assets import WaveBank
-    from skred_tpu.engine.fused import render_fused_device
+    from skred_tpu.engine.fused import (render_fused_device,
+        render_fused_stream_device)
     from skred_tpu.engine.render import _render_jit  # noqa: F401 (compat import)
     from skred_tpu.host.timeline import compile_script, noise_stream
     from skred_tpu.parallel.batch import pack_stacked, stack_timelines
@@ -76,19 +99,19 @@ def main() -> None:
     total_wall = 0.0
     detail = []
     checksum = 0.0
+    CHUNK = 172   # ~2s of blocks: compiled shapes independent of duration
     for (vp, passes), group in sorted(buckets.items()):
         # fill each bucket to a batch that amortizes per-block overheads
         reps = max(REPLICAS, -(-256 // len(group)))
         group = group * reps
         st = pack_stacked(stack_timelines(group))
-        # warmup/compile
-        out = render_fused_device(st, noise=noise_dev)
-        float(jnp.sum(out[-1]))
+        st = pad_segments_pow2(st)
+        render_fused_stream_device(st, CHUNK, warmup_only=True)  # compile
         t0 = time.time()
-        out = render_fused_device(st, noise=noise_dev)
-        checksum += float(jnp.sum(jnp.abs(out[-1])))  # forces completion
+        checksum += render_fused_stream_device(st, CHUNK)
         wall = time.time() - t0
-        audio = st.batch * st.num_blocks * st.block / 44100.0
+        whole_chunks = st.num_blocks // CHUNK
+        audio = st.batch * whole_chunks * CHUNK * st.block / 44100.0
         total_audio += audio
         total_wall += wall
         detail.append({"voices": int(vp), "passes": int(passes),

@@ -590,6 +590,67 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
         yield np.asarray(outs).swapaxes(0, 1).reshape(B, nb * st.block, 2)
 
 
+def render_fused_stream_device(st, chunk_blocks: int = 173,
+                               exact: Optional[bool] = None,
+                               use_pallas: Optional[bool] = None,
+                               warmup_only: bool = False) -> float:
+    """Streamed render keeping everything on device; returns a checksum
+    (|out| sum of the final chunk) to force completion.  The compiled
+    chunk shape is duration-independent → the persistent compile cache
+    makes repeated benches cheap."""
+    from skred_tpu.parallel.batch import _prep_params, pack_stacked
+
+    if st.fused_passes is None:
+        raise ValueError("cyclic modulation graph needs the compat engine")
+    if "fm_delayed" not in st.params:
+        st = pack_stacked(st)
+    params0 = _prep_params(st)
+    Vp = params0["amp"].shape[-1]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if exact is None:
+        exact = jax.default_backend() == "cpu"
+    if use_pallas:
+        from skred_tpu.engine.kernels import LANES
+
+        vmin = min(Vp, st.n_src) if st.n_src else Vp
+        per = LANES // vmin if LANES % vmin == 0 else LANES
+        pad_b = (-st.batch) % max(per, 1)
+        if pad_b:
+            rep = lambda a: np.concatenate(
+                [a, np.repeat(a[-1:], pad_b, axis=0)], axis=0)
+            params0 = {k: rep(np.asarray(v)) for k, v in params0.items()}
+            st = dataclasses.replace(
+                st, ops={k: rep(np.asarray(v)) for k, v in st.ops.items()},
+                seg_of_block=rep(np.asarray(st.seg_of_block)),
+                seg_is_start=rep(np.asarray(st.seg_is_start)),
+                batch=st.batch + pad_b)
+    params = {k: jnp.asarray(v) for k, v in params0.items()}
+    ops = {k: jnp.asarray(v) for k, v in st.ops.items()}
+    table = jnp.asarray(st.table_buffer)
+    B = st.batch
+    carry = make_carry0(B, Vp)
+    sob = np.asarray(st.seg_of_block)
+    sis = np.asarray(st.seg_is_start)
+    outs = None
+    for b0 in range(0, st.num_blocks, chunk_blocks):
+        nb = min(chunk_blocks, st.num_blocks - b0)
+        if nb < chunk_blocks:
+            break   # drop the ragged tail chunk (constant compiled shape)
+        n = jnp.asarray(noise_stream(nb * st.block, start=b0 * st.block))
+        carry, outs = _fused_chunk_jit(
+            carry, params, ops,
+            jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
+            table, n, jnp.int32(b0),
+            num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
+            exact=exact, use_pallas=use_pallas, n_src=st.n_src)
+        if warmup_only:
+            break
+    if outs is None:
+        return 0.0
+    return float(jnp.sum(jnp.abs(outs[-1])))
+
+
 def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                         use_pallas: Optional[bool] = None):
     """Like render_fused but keeps the result on device (shape

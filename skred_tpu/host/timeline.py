@@ -351,6 +351,45 @@ def compile_script(
     )
 
 
+def save_timeline(tl: Timeline, path) -> None:
+    """Checkpoint a compiled timeline as .npz (SURVEY §5: the reference
+    checkpoints state as replayable wire text; we additionally persist the
+    compiled event timeline itself)."""
+    data = {
+        "num_blocks": tl.num_blocks, "block": tl.block,
+        "seg_of_block": tl.seg_of_block, "seg_is_start": tl.seg_is_start,
+        "table_buffer": tl.table_buffer, "table_offsets": tl.table_offsets,
+        "mod_passes": tl.mod_passes,
+        "fused_passes": -1 if tl.fused_passes is None else tl.fused_passes,
+        "table_sizes": np.array([t.size for t in tl.table_arrays], np.int64),
+    }
+    for k, v in tl.params.items():
+        data["p_" + k] = v
+    for k, v in tl.ops.items():
+        data["o_" + k] = v
+    np.savez_compressed(path, **data)
+
+
+def load_timeline(path) -> Timeline:
+    z = np.load(path)
+    params = {k[2:]: z[k] for k in z.files if k.startswith("p_")}
+    ops = {k[2:]: z[k] for k in z.files if k.startswith("o_")}
+    buf = z["table_buffer"]
+    sizes = z["table_sizes"]
+    offs = z["table_offsets"]
+    tables = [buf[offs[i]: offs[i] + sizes[i]] for i in range(len(sizes))]
+    fp = int(z["fused_passes"])
+    return Timeline(
+        num_blocks=int(z["num_blocks"]), block=int(z["block"]),
+        seg_of_block=z["seg_of_block"], seg_is_start=z["seg_is_start"],
+        params=params, ops=ops,
+        table_buffer=buf, table_offsets=offs, table_arrays=tables,
+        mod_passes=int(z["mod_passes"]),
+        fused_passes=None if fp < 0 else fp,
+        final_engine=None,
+    )
+
+
 def noise_stream(total_samples: int, start: int = 0) -> np.ndarray:
     """The shared per-sample 'whiteish' LCG stream (synth.c:508,525),
     seeded 1 — one draw per sample regardless of voices.  ``start`` jumps

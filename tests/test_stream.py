@@ -23,3 +23,14 @@ def test_stream_equals_whole(reference_dir):
     whole = render_fused(st, use_pallas=False)
     chunks = list(render_fused_stream(st, chunk_blocks=17, use_pallas=False))
     assert np.array_equal(np.concatenate(chunks, axis=1), whole)
+
+
+def test_timeline_save_load(tmp_path, reference_dir):
+    from skred_tpu.engine import render_timeline
+    from skred_tpu.host.timeline import load_timeline, save_timeline
+
+    tl = compile_script((reference_dir / "909.sk").read_text().splitlines()
+                        + ["Z1"], 1.0, script_dir=reference_dir)
+    save_timeline(tl, tmp_path / "tl.npz")
+    tl2 = load_timeline(tmp_path / "tl.npz")
+    assert np.array_equal(render_timeline(tl), render_timeline(tl2))
