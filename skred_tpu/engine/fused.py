@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from skred_tpu import config as C
-from skred_tpu.engine.render import _fma
+from skred_tpu.engine.render import _div32, _fma32
 from skred_tpu.host.timeline import Timeline, noise_stream
 
 V = C.VOICE_MAX
@@ -48,6 +48,13 @@ F64 = jnp.float64
 I32 = jnp.int32
 
 VOICE_IDX = np.arange(V, dtype=np.int32)
+
+
+def _fma(a, b, c, exact):
+    """gcc-contracted multiply-add sites (see render._fma32): exact mode
+    reproduces the reference binary's single-rounding fma on any backend;
+    fast mode is plain separately-rounded mul+add."""
+    return _fma32(a, b, c) if exact else a * b + c
 
 
 def _affine_scan(a, b, x0, axis=-1):
@@ -128,34 +135,38 @@ def _envelope_block(counts, p):
     rel = p["env_release"][..., None]
     tr = (counts[None, None, :] - p["env_rel_at"][..., None]).astype(F32)
     v = jnp.where(
-        t < att, t / att,
+        t < att, _div32(t, att),
         jnp.where(t < att + dec,
-                  F32(1.0) - ((t - att) / dec) * (F32(1.0) - sus),
+                  _fma32(-_div32(t - att, dec), F32(1.0) - sus, F32(1.0)),
                   jnp.where(p["env_rel_at"][..., None] == 0, sus,
                             jnp.where(tr < rel,
-                                      sus * (F32(1.0) - tr / rel), F32(0.0)))))
+                                      sus * (F32(1.0) - _div32(tr, rel)),
+                                      F32(0.0)))))
     return jnp.where(p["env_active"][..., None] != 0, v, F32(0.0))
 
 
 def _fast_pow(a, b):
     i = jax.lax.bitcast_convert_type(a, I32)
-    x = b * (i - 1065353216).astype(F32) + F32(1065353216)
+    x = _fma32(b, (i - 1065353216).astype(F32), F32(1065353216))
     r = jax.lax.bitcast_convert_type(x.astype(I32), F32)
     return jnp.where(a <= 0.0, F32(0.0), r)
 
 
 def _cz_phasor(mode, ph, d, tsize):
-    phase = ph / tsize
+    phase = _div32(ph, tsize)
     d = jnp.clip(d, 0.0, 0.999)
     half, one = F32(0.5), F32(1.0)
-    m1 = jnp.where(phase < d, phase * (half / d),
-                   half + (phase - d) * (half / (one - d)))
-    sc2 = half / (half - d * half)
-    m2 = jnp.where(phase < half, phase * sc2, one - (one - phase) * sc2)
-    m3 = jnp.where(phase < half, phase * sc2, half + (phase - half) * sc2)
+    m1 = jnp.where(phase < d, phase * _div32(half, d),
+                   _fma32(phase - d, _div32(half, one - d), half))
+    sc2 = _div32(half, half - d * half)
+    m2 = jnp.where(phase < half, phase * sc2,
+                   _fma32(-(one - phase), sc2, one))
+    m3 = jnp.where(phase < half, phase * sc2,
+                   _fma32(phase - half, sc2, half))
     m4 = jnp.fmod(phase * F32(2.0), one)
-    sc5b = half / (half + d * half)
-    m5 = jnp.where(phase < half, phase * sc2, half + (phase - half) * sc5b)
+    sc5b = _div32(half, half + d * half)
+    m5 = jnp.where(phase < half, phase * sc2,
+                   _fma32(phase - half, sc5b, half))
     m6 = _fast_pow(phase, one + F32(4.0) * d)
     m7 = _fast_pow(phase, one + F32(8.0) * d)
     out = jnp.select([mode == 1, mode == 2, mode == 3, mode == 4,
@@ -178,9 +189,11 @@ def _read_block(est, prev_last, osc, delayed):
     nv = est.shape[1]
     sel = (osc[..., None] == np.arange(nv, dtype=np.int32)).astype(est.dtype)
     src = jnp.einsum("bnm,bmt->bnt", sel, est,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     src_last = jnp.einsum("bnm,bm->bn", sel, prev_last,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     shifted = jnp.concatenate([src_last[..., None], src[..., :-1]], axis=-1)
     return jnp.where((delayed != 0)[..., None], shifted, src)
 
@@ -276,7 +289,38 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     idx_f = jnp.where((p["cz_mode"] != 0)[..., None], cz_idx, ph32)
     idx = jnp.clip(idx_f.astype(I32), 0,
                    jnp.maximum(p["table_size"] - 1, 0)[..., None])
-    f_osc = table_buffer[p["table_off"][..., None] + idx]
+    use_lut = (use_pallas and "small_voice" in p
+               and table_buffer.shape[0] % 4096 == 0 and N % 128 == 0)
+    if use_lut:
+        # table read from VMEM (kernels.table_lookup_pallas) for every
+        # voice whose tables fit one 4096 slot; the few big-PCM voices go
+        # through a dense one-hot roster so the XLA HBM gather — the TPU
+        # throughput ceiling — only pays for them
+        from skred_tpu.engine import kernels as KK
+
+        tb3 = table_buffer.reshape(-1, 32, 128)
+        slot = (p["table_off"] // 4096).astype(I32).reshape(B_ * V_)
+        f_small = KK.table_lookup_pallas(
+            tb3, slot, idx.reshape(B_ * V_, N)).reshape(B_, V_, N)
+        if "big_map" in p:
+            bm = p["big_map"]                         # [B, G], sentinel >= V
+            sel = jax.nn.one_hot(bm, V_, dtype=F32)   # zero row for sentinel
+            idx_g = jnp.einsum("bgv,bvn->bgn", sel, idx.astype(F32),
+                               preferred_element_type=F32,
+                               precision=jax.lax.Precision.HIGHEST).astype(I32)
+            off_g = jnp.take_along_axis(
+                p["table_off"], jnp.minimum(bm, V_ - 1).astype(I32), axis=1)
+            off_g = jnp.where(bm < V_, off_g, 0)
+            f_big = table_buffer[off_g[..., None] + idx_g]
+            scat = jnp.einsum("bgv,bgn->bvn", sel, f_big,
+                              preferred_element_type=F32,
+                              precision=jax.lax.Precision.HIGHEST)
+            f_osc = jnp.where(p["small_voice"][..., None] != 0,
+                              f_small, scat)
+        else:
+            f_osc = f_small
+    else:
+        f_osc = table_buffer[p["table_off"][..., None] + idx]
 
     is_noise = is_noise_v[..., None]
     f = jnp.where(is_noise, noise_blk[None, None, :], f_osc)
@@ -334,7 +378,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
 
     # ---- quantizer ----
     levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
-    iv = (s1 * levels[..., None] + F32(0.5)).astype(I32).astype(F32)
+    iv = _fma32(s1, levels[..., None], F32(0.5)).astype(I32).astype(F32)
     s2 = jnp.where((p["quantize"] != 0)[..., None],
                    iv * (F32(1.0) / levels)[..., None], s1)
 
@@ -373,7 +417,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             flat(amp_), flat(smoothing),
             flat(am_self.astype(jnp.int32)), flat(p["amp_mod_depth"]),
             flat(carry["x1"]), flat(carry["x2"]), flat(carry["y1"]),
-            flat(carry["y2"]), flat(carry["smoother"]))
+            flat(carry["y2"]), flat(carry["smoother"]), exact=exact)
         samples = K.from_time_major(outs[0], B_, V_)
         new_x1, new_x2, new_y1, new_y2, new_smoother = (
             o.reshape(B_, V_) for o in outs[1:])
@@ -517,7 +561,10 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
         # them on the packed source prefix (the table gather is the TPU
         # throughput ceiling; sources are few)
         if n_src and n_src < Vp:
-            p_src = {kk: (vv[:, :n_src] if vv.ndim == 2 and vv.shape[1] == Vp
+            # big_map holds packed voice indices, not per-voice data — its
+            # entries >= n_src one-hot to zero rows in the prefix pass
+            p_src = {kk: (vv[:, :n_src] if kk != "big_map"
+                          and vv.ndim == 2 and vv.shape[1] == Vp
                           else vv) for kk, vv in p.items()}
             c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)
                      for kk, vv in carry.items()}
@@ -572,7 +619,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if exact is None:
-        exact = jax.default_backend() == "cpu"
+        exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     table = jnp.asarray(st.table_buffer)
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
@@ -609,7 +656,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if exact is None:
-        exact = jax.default_backend() == "cpu"
+        exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     if use_pallas:
         from skred_tpu.engine.kernels import LANES
 
@@ -671,7 +718,7 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if exact is None:
-        exact = jax.default_backend() == "cpu"
+        exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     if use_pallas:
         from skred_tpu.engine.kernels import LANES
 
@@ -748,7 +795,7 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
         put_b = put_r = jnp.asarray
 
     if exact is None:
-        exact = jax.default_backend() == "cpu"
+        exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     params = {k: put_b(v) for k, v in params.items()}
     ops = {k: put_b(v) for k, v in st.ops.items()}
     outs = _fused_jit(params, ops, put_b(st.seg_of_block),

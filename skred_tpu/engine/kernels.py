@@ -26,6 +26,38 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 I32 = jnp.int32
 
+
+def _kfma(a, b, c):
+    """In-kernel correctly-rounded f32 fma (render._fma32, f32/i32 only —
+    Mosaic has no f64).  Used for the reference binary's gcc-contracted
+    sites: the biquad chain and the amp smoother (mmf_process
+    synth.c:349-364, smoother synth.c:589-592)."""
+    C = F32(4097.0)
+    g = a * C
+    ah = g - (g - a)
+    al = a - ah
+    g = b * C
+    bh = g - (g - b)
+    bl = b - bh
+    p = a * b
+    # bitcast round-trip: hides the mul from Mosaic's fuser so `p + c`
+    # cannot be contracted into an fma (which would break the TwoSum)
+    p = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(p, I32), F32)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    s = p + c
+    bv = s - p
+    err = (p - (s - bv)) + (c - bv)
+    t = err + e
+    bv2 = t - err
+    r = (err - (t - bv2)) + (e - bv2)
+    ti = jax.lax.bitcast_convert_type(t, I32)
+    need = (r != 0.0) & ((ti & jnp.int32(1)) == 0) & jnp.isfinite(t)
+    up = (r > 0.0) != (t < 0.0)
+    adj = jnp.where(up, ti + jnp.int32(1), ti - jnp.int32(1))
+    t = jnp.where(need, jax.lax.bitcast_convert_type(adj, F32), t)
+    return s + t
+
 LANES = 512          # lanes per grid step (4 VPU registers wide)
 
 
@@ -78,6 +110,7 @@ def phase_walk_pallas(inc, phase0, fin0, lo, hi, L, osn, one_shot, adv, act):
     """inc: [N, M]; everything else [M].  M must be a multiple of LANES.
     Returns (ph [N, M], dead [N, M] i32, phase_end [M], fin_end [M])."""
     n, m = inc.shape
+    assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
     grid = (m // LANES,)
     seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
     vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
@@ -99,66 +132,81 @@ def phase_walk_pallas(inc, phase0, fin0, lo, hi, L, osn, one_shot, adv, act):
     return ph, dead, ph_end[0], fin_end[0]
 
 
-def _fs_kernel(x_ref, env_ref, amod_ref, alive_ref,
+def _make_fs_kernel(exact):
+    fma = _kfma if exact else (lambda a, b, c: a * b + c)
+
+    def kernel(x_ref, env_ref, amod_ref, alive_ref,
                b0_ref, b1_ref, b2_ref, na1_ref, na2_ref,
                useflt_ref, usesm_ref, amp_ref, smoothing_ref,
                amself_ref, amdepth_ref,
                x1_ref, x2_ref, y1_ref, y2_ref, sg_ref,
                out_ref, x1o_ref, x2o_ref, y1o_ref, y2o_ref, sgo_ref):
-    n = x_ref.shape[0]
-    b0 = b0_ref[0, :]
-    b1 = b1_ref[0, :]
-    b2 = b2_ref[0, :]
-    na1 = na1_ref[0, :]
-    na2 = na2_ref[0, :]
-    use_flt = useflt_ref[0, :] != 0
-    use_sm = usesm_ref[0, :] != 0
-    amp = amp_ref[0, :]
-    smoothing = smoothing_ref[0, :]
-    am_self = amself_ref[0, :] != 0
-    am_depth = amdepth_ref[0, :]
+        n = x_ref.shape[0]
+        b0 = b0_ref[0, :]
+        b1 = b1_ref[0, :]
+        b2 = b2_ref[0, :]
+        na1 = na1_ref[0, :]
+        na2 = na2_ref[0, :]
+        use_flt = useflt_ref[0, :] != 0
+        use_sm = usesm_ref[0, :] != 0
+        amp = amp_ref[0, :]
+        smoothing = smoothing_ref[0, :]
+        am_self = amself_ref[0, :] != 0
+        am_depth = amdepth_ref[0, :]
 
-    def body(t, carry):
-        x1, x2, y1, y2, sg = carry
-        x_t = x_ref[t, :]
-        alive_t = alive_ref[t, :] != 0
-        flt = b1 * x1 + b0 * x_t + b2 * x2 + na1 * y1 + na2 * y2
-        s3 = jnp.where(use_flt, flt, x_t)
-        upd = alive_t & use_flt
-        nx1 = jnp.where(upd, x_t, x1)
-        nx2 = jnp.where(upd, x1, x2)
-        ny1 = jnp.where(upd, flt, y1)
-        ny2 = jnp.where(upd, y1, y2)
-        amod = jnp.where(am_self, s3 * am_depth, amod_ref[t, :])
-        final_t = amp * env_ref[t, :] * amod
-        sg2 = sg + smoothing * (final_t - sg)
-        final2 = jnp.where(use_sm, sg2, final_t)
-        nsg = jnp.where(alive_t & use_sm, sg2, sg)
-        out_ref[t, :] = jnp.where(alive_t, s3 * final2, F32(0.0))
-        return nx1, nx2, ny1, ny2, nsg
+        def body(t, carry):
+            x1, x2, y1, y2, sg = carry
+            x_t = x_ref[t, :]
+            alive_t = alive_ref[t, :] != 0
+            # gcc -O3 order: b1*x1 rounded separately, then an fma chain
+            flt = b1 * x1
+            flt = fma(b0, x_t, flt)
+            flt = fma(b2, x2, flt)
+            flt = fma(na1, y1, flt)
+            flt = fma(na2, y2, flt)
+            s3 = jnp.where(use_flt, flt, x_t)
+            upd = alive_t & use_flt
+            nx1 = jnp.where(upd, x_t, x1)
+            nx2 = jnp.where(upd, x1, x2)
+            ny1 = jnp.where(upd, flt, y1)
+            ny2 = jnp.where(upd, y1, y2)
+            amod = jnp.where(am_self, s3 * am_depth, amod_ref[t, :])
+            final_t = amp * env_ref[t, :] * amod
+            sg2 = fma(smoothing, final_t - sg, sg)
+            final2 = jnp.where(use_sm, sg2, final_t)
+            nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            out_ref[t, :] = jnp.where(alive_t, s3 * final2, F32(0.0))
+            return nx1, nx2, ny1, ny2, nsg
 
-    x1, x2, y1, y2, sg = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(n), body,
-        (x1_ref[0, :], x2_ref[0, :], y1_ref[0, :], y2_ref[0, :], sg_ref[0, :]))
-    x1o_ref[0, :] = x1
-    x2o_ref[0, :] = x2
-    y1o_ref[0, :] = y1
-    y2o_ref[0, :] = y2
-    sgo_ref[0, :] = sg
+        x1, x2, y1, y2, sg = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n), body,
+            (x1_ref[0, :], x2_ref[0, :], y1_ref[0, :], y2_ref[0, :],
+             sg_ref[0, :]))
+        x1o_ref[0, :] = x1
+        x2o_ref[0, :] = x2
+        y1o_ref[0, :] = y1
+        y2o_ref[0, :] = y2
+        sgo_ref[0, :] = sg
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
+_FS_KERNELS = {False: _make_fs_kernel(False), True: _make_fs_kernel(True)}
+
+
+@functools.partial(jax.jit, static_argnames=("exact",))
 def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
                        use_flt, use_sm, amp, smoothing, am_self, am_depth,
-                       x1, x2, y1, y2, sg):
+                       x1, x2, y1, y2, sg, exact=False):
     """x/env/amod/alive: [N, M]; params/state: [M].  Returns
     (samples [N, M], x1, x2, y1, y2, sg)."""
     n, m = x.shape
+    assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
     grid = (m // LANES,)
     seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
     vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
     outs = pl.pallas_call(
-        _fs_kernel,
+        _FS_KERNELS[bool(exact)],
         grid=grid,
         in_specs=[seq, seq, seq, seq] + [vec] * 16,
         out_specs=[seq] + [vec] * 5,
@@ -172,6 +220,72 @@ def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
       x1[None, :], x2[None, :], y1[None, :], y2[None, :], sg[None, :])
     samples = outs[0]
     return (samples,) + tuple(o[0] for o in outs[1:])
+
+
+SLOT = 4096          # table slot: every small table lives in one slot
+SLOT_ROWS = SLOT // 128
+
+
+def _lut_kernel(slot_ref, tab_ref, idx_ref, out_ref):
+    del slot_ref                             # consumed by the index maps
+    t = tab_ref[0]                           # [32, 128] — the voice's table
+    i = idx_ref[0]                           # [R, 128] i32 sample indices
+    hi = jax.lax.shift_right_logical(i, jnp.int32(7))
+    lo = jax.lax.bitwise_and(i, jnp.int32(127))
+    acc = jnp.zeros(i.shape, jnp.float32)
+    # 32 masked lane-gathers: Mosaic supports dynamic per-lane gather only
+    # within one 128-lane row, so resolve each 128-entry chunk of the table
+    # in turn (hi >= 32, i.e. a big-table index, simply never matches and
+    # yields 0 — those voices resolve through the XLA gather roster)
+    # raw lax.gather with i32 indices: under jax_enable_x64,
+    # jnp.take_along_axis promotes indices to i64, which Mosaic rejects
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    for c in range(SLOT_ROWS):
+        bc = jnp.broadcast_to(t[c:c + 1, :], i.shape)
+        g = jax.lax.gather(
+            bc, lo[..., None], dnums, slice_sizes=(1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        acc = jnp.where(hi == c, g, acc)
+    out_ref[0] = acc
+
+
+@jax.jit
+def table_lookup_pallas(table3, slot, idx):
+    """Wavetable lookup out of VMEM instead of XLA's HBM gather.
+
+    table3: [n_slots, 32, 128] — the stacked table buffer, every table
+    aligned to a 4096-float slot (parallel/batch.py stack_timelines);
+    slot: [M] i32 per-voice slot index (table_off // 4096), scalar-prefetched
+    so each grid step DMAs exactly its voice's table;
+    idx: [M, N] i32 clipped sample indices, N % 128 == 0.
+
+    Returns [M, N] f32 with out[m, t] = buffer[slot[m]*4096 + idx[m, t]]
+    for idx < 4096 (0 otherwise).  ~0.36 ns/lookup on v5e vs ~7 ns for the
+    XLA gather (reference hot loop: osc_next table read, synth.c:217-258).
+    """
+    m, n = idx.shape
+    r = n // 128
+    idx3 = idx.reshape(m, r, 128)
+    out = pl.pallas_call(
+        _lut_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m,),
+            in_specs=[
+                # p*0 keeps the block indices i32 — bare 0 literals become
+                # i64 under jax_enable_x64, which Mosaic rejects
+                pl.BlockSpec((1, SLOT_ROWS, 128),
+                             lambda p, s: (s[p], p * 0, p * 0)),
+                pl.BlockSpec((1, r, 128), lambda p, s: (p, p * 0, p * 0)),
+            ],
+            out_specs=pl.BlockSpec((1, r, 128), lambda p, s: (p, p * 0, p * 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, r, 128), jnp.float32),
+        interpret=INTERPRET,
+    )(slot, table3, idx3)
+    return out.reshape(m, n)
 
 
 def to_time_major(a: jnp.ndarray) -> jnp.ndarray:

@@ -74,10 +74,73 @@ def _fma(a, b, c, exact):
     return t2.astype(F32)
 
 
+def _fma32(a, b, c):
+    """Correctly-rounded f32 fma in pure f32 (+ i32 bitcast) arithmetic.
+
+    The f64 `_fma` above cannot run on TPU (XLA's x64 rewriter has no
+    s64 bitcast-convert), and the remote compile service pins
+    --xla_allow_excess_precision=true so hardware contraction can't be
+    controlled.  This version needs only f32: Veltkamp split → Dekker
+    exact product (a*b = p + e), TwoSum (p + c = s + err), then the
+    residual err + e is rounded to odd so the final `s + t` add cannot
+    double-round (Boldo-Melquiond).  Verified exact against the f64
+    oracle on 400k random/cancellation cases, identically on CPU XLA,
+    TPU XLA (elementwise and scan-body) and Mosaic."""
+    C = F32(4097.0)                      # 2^12 + 1
+    g = a * C
+    ah = g - (g - a)
+    al = a - ah
+    g = b * C
+    bh = g - (g - b)
+    bl = b - bh
+    p = a * b
+    # barrier: XLA TPU may contract `p + c` into an fma inside large
+    # fusions (the compile service pins --xla_allow_excess_precision=true),
+    # which would break the TwoSum below
+    p = jax.lax.optimization_barrier(p)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl   # a*b = p + e exactly
+    s = p + c
+    bv = s - p
+    err = (p - (s - bv)) + (c - bv)      # p + c = s + err exactly
+    t = err + e
+    bv2 = t - err
+    r = (err - (t - bv2)) + (e - bv2)    # err + e = t + r exactly
+    ti = jax.lax.bitcast_convert_type(t, I32)
+    need = (r != 0.0) & ((ti & 1) == 0) & jnp.isfinite(t)
+    up = (r > 0.0) != (t < 0.0)
+    adj = jnp.where(up, ti + 1, ti - 1)
+    t = jnp.where(need, jax.lax.bitcast_convert_type(adj.astype(I32), F32), t)
+    return s + t
+
+
+def _div32(x, y):
+    """Correctly-rounded f32 division on every backend.
+
+    TPU's native f32 divide (reciprocal + Newton) is 1 ulp off for ~35% of
+    operands; chaotic FM feedback amplifies those ulps into full phase
+    decorrelation within seconds.  Dividing in f64 and casting back is
+    exactly the correctly-rounded f32 quotient (53 >= 2*24+2 bits makes the
+    double rounding safe), matches glibc/x86 `/` bit-for-bit, and costs the
+    same as f32 divide on TPU."""
+    return (jnp.asarray(x).astype(jnp.float64)
+            / jnp.asarray(y).astype(jnp.float64)).astype(F32)
+
+
+
+
+def _sep(x):
+    """Keep a product separately rounded: XLA TPU contracts mul+add/sub
+    into fma inside large fusions (excess precision is pinned on by the
+    compile service); the reference rounds these sites separately, and a
+    1-ulp difference in e.g. the CZ phasor index crosses integer
+    boundaries (off-by-one table reads)."""
+    return jax.lax.optimization_barrier(x)
+
 def _fast_pow(a, b):
-    """synth.c:140-147 — bit-trick pow approximation, bit-exact."""
+    """synth.c:140-147 — bit-trick pow approximation, bit-exact (the
+    reference binary contracts the multiply-add into an fma)."""
     i = jax.lax.bitcast_convert_type(a, I32)
-    x = b * (i - 1065353216).astype(F32) + F32(1065353216)
+    x = _fma32(b, (i - 1065353216).astype(F32), F32(1065353216))
     ii = x.astype(I32)
     r = jax.lax.bitcast_convert_type(ii, F32)
     return jnp.where(a <= 0.0, F32(0.0), r)
@@ -85,24 +148,28 @@ def _fast_pow(a, b):
 
 def _cz_phasor(mode, p, d, table_size_f):
     """synth.c:149-215 — Casio-CZ phase distortion, 7 modes, vectorized."""
-    phase = p / table_size_f
+    phase = _div32(p, table_size_f)
     d = jnp.clip(d, 0.0, 0.999)
     half = F32(0.5)
     one = F32(1.0)
     # mode 1: saw -> pulse
-    m1 = jnp.where(phase < d, phase * (half / d),
-                   half + (phase - d) * (half / (one - d)))
+    # gcc -O3 -march=native contracts every one of these multiply-adds
+    # into fma/fnma — reproduce that single rounding explicitly
+    m1 = jnp.where(phase < d, phase * _div32(half, d),
+                   _fma32(phase - d, _div32(half, one - d), half))
     # mode 2: square (folded sine)
-    sc2 = half / (half - d * half)
-    m2 = jnp.where(phase < half, phase * sc2, one - (one - phase) * sc2)
+    sc2 = _div32(half, half - d * half)
+    m2 = jnp.where(phase < half, phase * sc2,
+                   _fma32(-(one - phase), sc2, one))
     # mode 3: triangle
-    m3 = jnp.where(phase < half, phase * sc2, half + (phase - half) * sc2)
+    m3 = jnp.where(phase < half, phase * sc2,
+                   _fma32(phase - half, sc2, half))
     # mode 4: double sine
     m4 = jnp.fmod(phase * F32(2.0), one)
     # mode 5: saw -> triangle
-    sc5a = half / (half - d * half)
-    sc5b = half / (half + d * half)
-    m5 = jnp.where(phase < half, phase * sc5a, half + (phase - half) * sc5b)
+    sc5b = _div32(half, half + d * half)
+    m5 = jnp.where(phase < half, phase * sc2,
+                   _fma32(phase - half, sc5b, half))
     # modes 6/7: resonant
     m6 = _fast_pow(phase, one + F32(4.0) * d)
     m7 = _fast_pow(phase, one + F32(8.0) * d)
@@ -121,10 +188,10 @@ def _envelope(count, p):
     dec = p["env_decay"]
     sus = p["env_sustain"]
     rel = p["env_release"]
-    attack_val = t / att
-    decay_val = F32(1.0) - ((t - att) / dec) * (F32(1.0) - sus)
+    attack_val = _div32(t, att)
+    decay_val = _fma32(-_div32(t - att, dec), F32(1.0) - sus, F32(1.0))
     tr = (count - p["env_rel_at"]).astype(F32)
-    release_val = sus * (F32(1.0) - tr / rel)
+    release_val = sus * (F32(1.0) - _div32(tr, rel))
     v = jnp.where(
         t < att, attack_val,
         jnp.where(t < att + dec, decay_val,
@@ -198,8 +265,8 @@ def _voice_pass(est, prev, carry, p, whiteish, count, table_buffer, exact=True):
 
     # ---- bit quantizer (synth.c:341-345, :574) ----
     levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
-    iv = (s1 * levels + F32(0.5)).astype(I32).astype(F32)
-    s2 = jnp.where(p["quantize"] != 0, iv * (F32(1.0) / levels), s1)
+    iv = _fma32(s1, levels, F32(0.5)).astype(I32).astype(F32)
+    s2 = jnp.where(p["quantize"] != 0, iv * _div32(F32(1.0), levels), s1)
 
     # ---- biquad, direct form I state (mmf_process, synth.c:349-364) ----
     # Bit-matching the reference binary's mmf_process codegen (gcc -O3

@@ -57,18 +57,24 @@ def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
     chunks = []
     goff = 0
     script_offmaps = []
+    SLOT = 4096   # slot-align every table so the Pallas VMEM lookup kernel
+    #               can DMA a voice's table as one [32,128] block
     for tl in tls:
         offmap = np.zeros(max(len(tl.table_arrays), 1), dtype=np.int32)
         for i, arr in enumerate(tl.table_arrays):
             key = id(arr)
             if key not in uniq:
                 uniq[key] = goff
-                chunks.append(np.asarray(arr, dtype=np.float32))
-                goff += arr.size
+                a = np.asarray(arr, dtype=np.float32)
+                pad = (-a.size) % SLOT
+                if pad:
+                    a = np.concatenate([a, np.zeros(pad, np.float32)])
+                chunks.append(a)
+                goff += a.size
             offmap[i] = uniq[key]
         script_offmaps.append(offmap)
     table_buffer = (np.concatenate(chunks).astype(np.float32)
-                    if chunks else np.zeros(1, np.float32))
+                    if chunks else np.zeros(SLOT, np.float32))
 
     def pad_seg(a: np.ndarray, s: int) -> np.ndarray:
         if a.shape[0] == s:
@@ -299,6 +305,26 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
             new_ops[k].append(a)
     params = {k: np.stack(v) for k, v in new_params.items()}
     ops = {k: np.stack(v) for k, v in new_ops.items()}
+
+    # ---- table-lookup rosters ----
+    # Voices whose every bound table fits a 4096-float slot resolve their
+    # wavetable reads in the Pallas VMEM kernel; the remaining "big" voices
+    # (long PCM loads) keep the XLA gather, packed into a dense roster so
+    # its cost scales with how many there actually are.
+    ts = params["table_size"]                          # [B, S, Vp]
+    ti = params["table_index"]
+    big = ((ts > 4096) & (ti != C.WAVE_TABLE_NOISE_ALT)).any(axis=1)  # [B, Vp]
+    params["small_voice"] = np.broadcast_to(
+        (~big).astype(np.int32)[:, None, :], ts.shape).copy()
+    gmax = int(big.sum(axis=1).max()) if big.size else 0
+    if gmax:
+        vp_ = ts.shape[2]
+        bm = np.full((B, gmax), vp_, np.int32)         # sentinel vp → no-op
+        for b in range(B):
+            w = np.where(big[b])[0]
+            bm[b, : len(w)] = w
+        params["big_map"] = np.broadcast_to(
+            bm[:, None, :], (B, ts.shape[1], gmax)).copy()
     return dataclasses.replace(st, params=params, ops=ops, n_src=n_src)
 
 

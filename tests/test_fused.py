@@ -63,3 +63,57 @@ def test_pallas_kernels_interpret(reference_dir, session_bank):
     finally:
         kernels.INTERPRET = old
     assert np.array_equal(a, b), "pallas kernels must match the scan path"
+
+
+def test_table_lookup_kernel_interpret():
+    import jax.numpy as jnp
+
+    from skred_tpu.engine import kernels
+
+    rng = np.random.RandomState(7)
+    n_slots = 5
+    buf = rng.randn(n_slots * 4096).astype(np.float32)
+    slot = rng.randint(0, n_slots, 24).astype(np.int32)
+    idx = rng.randint(0, 4096, (24, 512)).astype(np.int32)
+    old = kernels.INTERPRET
+    kernels.INTERPRET = True
+    try:
+        out = np.asarray(kernels.table_lookup_pallas(
+            jnp.asarray(buf).reshape(-1, 32, 128), jnp.asarray(slot),
+            jnp.asarray(idx)))
+    finally:
+        kernels.INTERPRET = old
+    want = buf[slot[:, None] * 4096 + idx]
+    assert np.array_equal(out, want)
+    # big-table index (>= 4096) must yield 0, not garbage
+    kernels.INTERPRET = True
+    try:
+        out2 = np.asarray(kernels.table_lookup_pallas(
+            jnp.asarray(buf).reshape(-1, 32, 128),
+            jnp.asarray(slot[:1]),
+            jnp.asarray(np.full((1, 512), 5000, np.int32))))
+    finally:
+        kernels.INTERPRET = old
+    assert np.all(out2 == 0.0)
+
+
+def test_pallas_lut_with_big_tables(reference_dir, session_bank):
+    """909.sk binds >4096-sample PCM tables → exercises the big-voice
+    XLA-gather roster + small-voice VMEM LUT split."""
+    from skred_tpu.engine import kernels
+
+    tls = [compile_script((reference_dir / n).read_text().splitlines(), 0.3,
+                          bank=session_bank.fork(), script_dir=reference_dir)
+           for n in ("909.sk", "24.sk")]
+    st = stack_timelines(tls)
+    a = render_fused(st, use_pallas=False)
+    old = kernels.INTERPRET
+    kernels.INTERPRET = True
+    try:
+        b = render_fused(st, use_pallas=True)
+    finally:
+        kernels.INTERPRET = old
+    # table reads are value-exact either way; the remaining ulps come from
+    # the phase/filter kernels' op scheduling (same with the LUT disabled)
+    err = float(np.abs(a - b).max())
+    assert err <= 1e-5, f"LUT+roster diverged from flat gather: {err}"
