@@ -1,35 +1,77 @@
 #!/usr/bin/env python3
 """On-chip parity check: render scripts with the fused TPU engine (exact
 mode, Pallas kernels, VMEM table LUT) and compare against the bit-exact
-compat engine run on the host CPU.
+compat engine.
 
-Usage:  python tools/tpu_parity.py [seconds] [script.sk ...]
+Usage:  python tools/tpu_parity.py [seconds] [script.sk ... | all]
 
 Every script must come in at or below the -60 dB target (BASELINE.md).
 The exact mode reproduces the reference binary's arithmetic on TPU:
 correctly-rounded f32 division (f64 emulation), software f32 fma at the
 gcc-contracted sites (engine/render.py:_fma32), and the exact-fma Pallas
-filter/smoother kernel (engine/kernels.py)."""
+filter/smoother kernel (engine/kernels.py).
 
+The compat reference is rendered in a separate JAX_PLATFORMS=cpu
+subprocess: inside the TPU (axon) process even CPU executables are
+compiled by the remote helper for a different host microarchitecture,
+which shifts the scan engine's numerics (observed -30 dB on 20.sk)."""
+
+import json
+import os
 import pathlib
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-import jax
-import numpy as np
-
 REF = pathlib.Path("/root/reference")
-DEFAULT = ["0.sk", "2.sk", "9.sk", "10.sk", "24.sk", "42.sk", "48.sk",
-           "65.sk", "72.sk", "909.sk"]
+DEFAULT = ["0.sk", "2.sk", "9.sk", "10.sk", "20.sk", "24.sk", "42.sk",
+           "48.sk", "65.sk", "72.sk", "909.sk"]
+
+
+def compare_main(path: str) -> None:
+    """Runs in a clean CPU process: render compat references and report."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from skred_tpu.assets import WaveBank
+    from skred_tpu.engine import render_timeline
+    from skred_tpu.host.timeline import compile_script
+
+    z = np.load(path)
+    names = json.loads(str(z["names"]))
+    seconds = float(z["seconds"])
+    out = z["out"]
+    bank = WaveBank()
+    worst = []
+    for i, n in enumerate(names):
+        tl = compile_script((REF / n).read_text().splitlines(), seconds,
+                            bank=bank, script_dir=REF)
+        ref = render_timeline(tl)
+        m = min(out.shape[1], len(ref))
+        err = float(np.abs(out[i, :m] - ref[:m]).max())
+        db = 20 * np.log10(err + 1e-30)
+        flag = "OK " if db <= -60.0 else "FAIL"
+        print(f"{flag} {n:10s} {db:8.1f} dB  err={err:.3e}", flush=True)
+        worst.append((db, n))
+    worst.sort(reverse=True)
+    print("\nworst:", [(round(d, 1), n) for d, n in worst[:8]])
+    sys.exit(1 if worst and worst[0][0] > -60.0 else 0)
 
 
 def main() -> None:
+    import jax
+
     cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
     cache.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
     names = sys.argv[2:] or DEFAULT
@@ -37,7 +79,6 @@ def main() -> None:
         names = sorted(p.name for p in REF.glob("*.sk"))
 
     from skred_tpu.assets import WaveBank
-    from skred_tpu.engine import render_timeline
     from skred_tpu.engine.fused import render_fused_device
     from skred_tpu.host.timeline import compile_script
     from skred_tpu.parallel.batch import stack_timelines
@@ -58,26 +99,21 @@ def main() -> None:
     t0 = time.time()
     out = np.asarray(render_fused_device(st, use_pallas=True))
     b_padded = out.shape[1]            # render_fused_device pads the batch
-    out = np.moveaxis(out, 0, 1).reshape(b_padded, -1, 2)
+    out = np.moveaxis(out, 0, 1).reshape(b_padded, -1, 2)[: len(kept)]
     print(f"TPU render: {time.time() - t0:.1f}s "
           f"({len(kept)} scripts, batch padded to {b_padded})")
 
-    cpu = jax.devices("cpu")[0]
-    worst = []
-    for i, n in enumerate(kept):
-        with jax.default_device(cpu):
-            ref = render_timeline(tls[i])
-        m = min(out.shape[1], len(ref))
-        err = float(np.abs(out[i, :m] - ref[:m]).max())
-        db = 20 * np.log10(err + 1e-30)
-        flag = "OK " if db <= -60.0 else "FAIL"
-        print(f"{flag} {n:10s} {db:8.1f} dB  err={err:.3e}", flush=True)
-        worst.append((db, n))
-    worst.sort(reverse=True)
-    print("\nworst:", [(round(d, 1), n) for d, n in worst[:8]])
-    if worst and worst[0][0] > -60.0:
-        sys.exit(1)
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        np.savez(f, out=out, names=json.dumps(kept), seconds=seconds)
+        tmp = f.name
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, __file__, "--compare", tmp], env=env)
+    os.unlink(tmp)
+    sys.exit(r.returncode)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--compare":
+        compare_main(sys.argv[2])
+    else:
+        main()
