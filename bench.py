@@ -102,7 +102,10 @@ def main() -> None:
     CHUNK = 172   # ~2s of blocks: compiled shapes independent of duration
     for (vp, passes), group in sorted(buckets.items()):
         # fill each bucket to a batch that amortizes per-block overheads
-        reps = max(REPLICAS, -(-256 // len(group)))
+        # (the per-block fixed cost dominates light buckets: 0.sk-class
+        # scripts nearly double their throughput from 256 to 1024 rows)
+        target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
+        reps = max(REPLICAS, -(-target // len(group)))
         group = group * reps
         st = pack_stacked(stack_timelines(group))
         st = pad_segments_pow2(st)

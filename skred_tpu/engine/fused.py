@@ -292,18 +292,16 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     use_lut = (use_pallas and "small_voice" in p
                and table_buffer.shape[0] % 4096 == 0 and N % 128 == 0)
     if use_lut:
-        # table read from VMEM (kernels.table_lookup_pallas) for every
-        # voice whose tables fit one 4096 slot; the few big-PCM voices go
-        # through a dense one-hot roster so the XLA HBM gather — the TPU
-        # throughput ceiling — only pays for them
+        # Tiered table reads out of VMEM (kernels.table_lookup_pallas)
+        # instead of XLA's HBM gather — the original TPU throughput
+        # ceiling.  Small tier: every voice, one 4096 slot.  Medium tier
+        # (tables <= 32768, i.e. most sampled PCM): a dense one-hot roster
+        # into the 32768-slot kernel.  Only voices binding even larger PCM
+        # keep the XLA gather via their own roster.
         from skred_tpu.engine import kernels as KK
 
-        tb3 = table_buffer.reshape(-1, 32, 128)
-        slot = (p["table_off"] // 4096).astype(I32).reshape(B_ * V_)
-        f_small = KK.table_lookup_pallas(
-            tb3, slot, idx.reshape(B_ * V_, N)).reshape(B_, V_, N)
-        if "big_map" in p:
-            bm = p["big_map"]                         # [B, G], sentinel >= V
+        def roster_select(name):
+            bm = p[name]                              # [B, G], sentinel >= V
             sel = jax.nn.one_hot(bm, V_, dtype=F32)   # zero row for sentinel
             idx_g = jnp.einsum("bgv,bvn->bgn", sel, idx.astype(F32),
                                preferred_element_type=F32,
@@ -311,14 +309,33 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             off_g = jnp.take_along_axis(
                 p["table_off"], jnp.minimum(bm, V_ - 1).astype(I32), axis=1)
             off_g = jnp.where(bm < V_, off_g, 0)
-            f_big = table_buffer[off_g[..., None] + idx_g]
-            scat = jnp.einsum("bgv,bgn->bvn", sel, f_big,
+            return sel, idx_g, off_g
+
+        def roster_scatter(sel, f_g):
+            return jnp.einsum("bgv,bgn->bvn", sel, f_g,
                               preferred_element_type=F32,
                               precision=jax.lax.Precision.HIGHEST)
-            f_osc = jnp.where(p["small_voice"][..., None] != 0,
-                              f_small, scat)
-        else:
-            f_osc = f_small
+
+        tb3 = table_buffer.reshape(-1, 32, 128)
+        slot = (p["table_off"] // 4096).astype(I32).reshape(B_ * V_)
+        f_osc = KK.table_lookup_pallas(
+            tb3, slot, idx.reshape(B_ * V_, N)).reshape(B_, V_, N)
+        if "med_map" in p and table_buffer.shape[0] % 32768 == 0:
+            sel, idx_m, off_m = roster_select("med_map")
+            gm = idx_m.shape[1]
+            f_m = KK.table_lookup_pallas(
+                table_buffer.reshape(-1, 256, 128),
+                (off_m // 32768).astype(I32).reshape(B_ * gm),
+                idx_m.reshape(B_ * gm, N),
+                slot_size=32768).reshape(B_, gm, N)
+            f_osc = jnp.where(p["med_voice"][..., None] != 0,
+                              roster_scatter(sel, f_m), f_osc)
+        if "big_map" in p:
+            sel, idx_g, off_g = roster_select("big_map")
+            f_big = table_buffer[off_g[..., None] + idx_g]
+            big_v = (p["small_voice"] == 0) & (p.get("med_voice", 0) == 0)
+            f_osc = jnp.where(big_v[..., None], roster_scatter(sel, f_big),
+                              f_osc)
     else:
         f_osc = table_buffer[p["table_off"][..., None] + idx]
 
@@ -349,40 +366,11 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         v = (seq * oh_prev).sum(axis=-1)
         return jnp.where(cnt >= 2, v, fallback)
 
-    # ---- sample & hold ----
+    # ---- shared per-voice controls ----
     hold_on = (p["hold_max"] != 0)
     hm = jnp.maximum(p["hold_max"], 1)
-    tpos = jnp.arange(N_, dtype=I32)
-    sh_cnt = (carry["hold_count"][..., None] + tpos[None, None, :]) % hm[..., None]
-    is_hold = sh_cnt == 0
-    # forward-fill of f at hold positions (no gather): associative scan on
-    # (value, seen) pairs where later holds override earlier ones
-    seed = jnp.concatenate(
-        [jnp.ones_like(is_hold[..., :1]), is_hold[..., 1:]], axis=-1)
-    seed0 = jnp.where(is_hold[..., :1], f[..., :1],
-                      carry["hold_val"][..., None])
-    vals = jnp.concatenate([seed0, f[..., 1:]], axis=-1)
-
-    def ff_combine(l, r):
-        lv, ls = l
-        rv, rs = r
-        return jnp.where(rs, rv, lv), ls | rs
-
-    held, _ = jax.lax.associative_scan(ff_combine, (vals, seed), axis=-1)
-    s1 = jnp.where(hold_on[..., None], held, f)
-    new_hold_count = jnp.where(hold_on & any_alive,
-                               (carry["hold_count"] + cnt) % hm,
-                               carry["hold_count"])
-    new_hold_val = jnp.where(hold_on & any_alive, at_last(held),
-                             carry["hold_val"])
-
-    # ---- quantizer ----
     levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
-    iv = _fma32(s1, levels[..., None], F32(0.5)).astype(I32).astype(F32)
-    s2 = jnp.where((p["quantize"] != 0)[..., None],
-                   iv * (F32(1.0) / levels)[..., None], s1)
-
-    # ---- amp/env/amp-mod (block-parallel inputs to the smoother) ----
+    inv_levels = _div32(F32(1.0), jnp.maximum(levels, F32(1.0)))
     env = jnp.where((p["use_amp_envelope"] != 0)[..., None],
                     _envelope_block(counts, p) * p["env_velocity"][..., None],
                     F32(1.0))
@@ -393,22 +381,20 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     am_self = p["am_self"] != 0
     ampmod_x = jnp.where((am >= 0)[..., None],
                          am_read * p["amp_mod_depth"][..., None], F32(1.0))
-
-    # ---- filter + smoother: the remaining true recurrences, as a second
-    # minimal scan (table gathers stayed block-parallel above).  Serial f32
-    # op order matches the reference (mmf_process + synth.c:589-592) so
-    # modulator samples don't drift off the C engine's rounding walk.
     use_flt = (p["filter_mode"] != 0)
     use_sm = (p["smoother_enable"] != 0)
     amp_ = p["amp"]
     smoothing = p["smoother_smoothing"]
 
     if use_pallas:
+        # sample&hold + quantizer + filter + smoother fused into one
+        # serial Pallas pass — the XLA associative-scan forward fill and
+        # its per-block materializations disappear
         from skred_tpu.engine import kernels as K
 
         flat = lambda a: a.reshape(B_ * V_)
         outs = K.filt_smooth_pallas(
-            K.to_time_major(s2), K.to_time_major(env),
+            K.to_time_major(f), K.to_time_major(env),
             K.to_time_major(ampmod_x),
             K.to_time_major(alive.astype(jnp.int32)),
             flat(p["b0"]), flat(p["b1"]), flat(p["b2"]),
@@ -416,12 +402,47 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             flat(use_flt.astype(jnp.int32)), flat(use_sm.astype(jnp.int32)),
             flat(amp_), flat(smoothing),
             flat(am_self.astype(jnp.int32)), flat(p["amp_mod_depth"]),
+            flat(hold_on.astype(jnp.int32)), flat(hm.astype(jnp.int32)),
+            flat((p["quantize"] != 0).astype(jnp.int32)),
+            flat(levels), flat(inv_levels),
             flat(carry["x1"]), flat(carry["x2"]), flat(carry["y1"]),
-            flat(carry["y2"]), flat(carry["smoother"]), exact=exact)
+            flat(carry["y2"]), flat(carry["smoother"]),
+            flat(carry["hold_count"].astype(I32)), flat(carry["hold_val"]),
+            exact=exact)
         samples = K.from_time_major(outs[0], B_, V_)
-        new_x1, new_x2, new_y1, new_y2, new_smoother = (
-            o.reshape(B_, V_) for o in outs[1:])
+        (new_x1, new_x2, new_y1, new_y2, new_smoother, new_hold_count,
+         new_hold_val) = (o.reshape(B_, V_) for o in outs[1:])
     else:
+        # ---- sample & hold ----
+        tpos = jnp.arange(N_, dtype=I32)
+        sh_cnt = (carry["hold_count"][..., None] + tpos[None, None, :]) % hm[..., None]
+        is_hold = sh_cnt == 0
+        # forward-fill of f at hold positions (no gather): associative scan
+        # on (value, seen) pairs where later holds override earlier ones
+        seed = jnp.concatenate(
+            [jnp.ones_like(is_hold[..., :1]), is_hold[..., 1:]], axis=-1)
+        seed0 = jnp.where(is_hold[..., :1], f[..., :1],
+                          carry["hold_val"][..., None])
+        vals = jnp.concatenate([seed0, f[..., 1:]], axis=-1)
+
+        def ff_combine(l, r):
+            lv, ls = l
+            rv, rs = r
+            return jnp.where(rs, rv, lv), ls | rs
+
+        held, _ = jax.lax.associative_scan(ff_combine, (vals, seed), axis=-1)
+        s1 = jnp.where(hold_on[..., None], held, f)
+        new_hold_count = jnp.where(hold_on & any_alive,
+                                   (carry["hold_count"] + cnt) % hm,
+                                   carry["hold_count"])
+        new_hold_val = jnp.where(hold_on & any_alive, at_last(held),
+                                 carry["hold_val"])
+
+        # ---- quantizer ----
+        iv = _fma32(s1, levels[..., None], F32(0.5)).astype(I32).astype(F32)
+        s2 = jnp.where((p["quantize"] != 0)[..., None],
+                       iv * inv_levels[..., None], s1)
+
         def fs_step(c, xs):
             x1, x2, y1, y2, sg = c
             x_t, env_t, amod_t, alive_t = xs
@@ -561,9 +582,10 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
         # them on the packed source prefix (the table gather is the TPU
         # throughput ceiling; sources are few)
         if n_src and n_src < Vp:
-            # big_map holds packed voice indices, not per-voice data — its
-            # entries >= n_src one-hot to zero rows in the prefix pass
-            p_src = {kk: (vv[:, :n_src] if kk != "big_map"
+            # the rosters hold packed voice indices, not per-voice data —
+            # their entries >= n_src one-hot to zero rows in the prefix pass
+            p_src = {kk: (vv[:, :n_src]
+                          if kk not in ("big_map", "med_map")
                           and vv.ndim == 2 and vv.shape[1] == Vp
                           else vv) for kk, vv in p.items()}
             c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)

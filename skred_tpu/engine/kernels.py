@@ -139,8 +139,10 @@ def _make_fs_kernel(exact):
                b0_ref, b1_ref, b2_ref, na1_ref, na2_ref,
                useflt_ref, usesm_ref, amp_ref, smoothing_ref,
                amself_ref, amdepth_ref,
-               x1_ref, x2_ref, y1_ref, y2_ref, sg_ref,
-               out_ref, x1o_ref, x2o_ref, y1o_ref, y2o_ref, sgo_ref):
+               holdon_ref, holdmax_ref, quant_ref, levels_ref, invlev_ref,
+               x1_ref, x2_ref, y1_ref, y2_ref, sg_ref, hc_ref, hv_ref,
+               out_ref, x1o_ref, x2o_ref, y1o_ref, y2o_ref, sgo_ref,
+               hco_ref, hvo_ref):
         n = x_ref.shape[0]
         b0 = b0_ref[0, :]
         b1 = b1_ref[0, :]
@@ -153,11 +155,29 @@ def _make_fs_kernel(exact):
         smoothing = smoothing_ref[0, :]
         am_self = amself_ref[0, :] != 0
         am_depth = amdepth_ref[0, :]
+        hold_on = holdon_ref[0, :] != 0
+        hmax = holdmax_ref[0, :]
+        quant_on = quant_ref[0, :] != 0
+        levels = levels_ref[0, :]
+        inv_lev = invlev_ref[0, :]
 
         def body(t, carry):
-            x1, x2, y1, y2, sg = carry
-            x_t = x_ref[t, :]
+            x1, x2, y1, y2, sg, hc, hv = carry
+            f_t = x_ref[t, :]
             alive_t = alive_ref[t, :] != 0
+            # sample & hold (synth.c:560-571): refresh on counter wrap,
+            # advance only while the voice is alive
+            is_h = hold_on & (hc == 0)
+            hv2 = jnp.where(is_h, f_t, hv)
+            s1 = jnp.where(hold_on, hv2, f_t)
+            hcn = hc + jnp.int32(1)
+            hcn = jnp.where(hcn >= hmax, jnp.int32(0), hcn)
+            nhv = jnp.where(alive_t, hv2, hv)
+            nhc = jnp.where(alive_t & hold_on, hcn, hc)
+            # bit quantizer (synth.c:341-345) — gcc contracts the
+            # multiply-add, so always the exact fma
+            iv = _kfma(s1, levels, F32(0.5)).astype(I32).astype(F32)
+            x_t = jnp.where(quant_on, iv * inv_lev, s1)
             # gcc -O3 order: b1*x1 rounded separately, then an fma chain
             flt = b1 * x1
             flt = fma(b0, x_t, flt)
@@ -176,17 +196,19 @@ def _make_fs_kernel(exact):
             final2 = jnp.where(use_sm, sg2, final_t)
             nsg = jnp.where(alive_t & use_sm, sg2, sg)
             out_ref[t, :] = jnp.where(alive_t, s3 * final2, F32(0.0))
-            return nx1, nx2, ny1, ny2, nsg
+            return nx1, nx2, ny1, ny2, nsg, nhc, nhv
 
-        x1, x2, y1, y2, sg = jax.lax.fori_loop(
+        x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(n), body,
             (x1_ref[0, :], x2_ref[0, :], y1_ref[0, :], y2_ref[0, :],
-             sg_ref[0, :]))
+             sg_ref[0, :], hc_ref[0, :], hv_ref[0, :]))
         x1o_ref[0, :] = x1
         x2o_ref[0, :] = x2
         y1o_ref[0, :] = y1
         y2o_ref[0, :] = y2
         sgo_ref[0, :] = sg
+        hco_ref[0, :] = hc
+        hvo_ref[0, :] = hv
 
     return kernel
 
@@ -197,9 +219,12 @@ _FS_KERNELS = {False: _make_fs_kernel(False), True: _make_fs_kernel(True)}
 @functools.partial(jax.jit, static_argnames=("exact",))
 def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
                        use_flt, use_sm, amp, smoothing, am_self, am_depth,
-                       x1, x2, y1, y2, sg, exact=False):
-    """x/env/amod/alive: [N, M]; params/state: [M].  Returns
-    (samples [N, M], x1, x2, y1, y2, sg)."""
+                       hold_on, hold_max, quant_on, levels, inv_levels,
+                       x1, x2, y1, y2, sg, hc, hv, exact=False):
+    """Sample&hold + quantizer + biquad + amp smoother in one serial pass.
+
+    x/env/amod/alive: [N, M]; params/state: [M].  Returns
+    (samples [N, M], x1, x2, y1, y2, sg, hold_count, hold_val)."""
     n, m = x.shape
     assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
     grid = (m // LANES,)
@@ -208,75 +233,92 @@ def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
     outs = pl.pallas_call(
         _FS_KERNELS[bool(exact)],
         grid=grid,
-        in_specs=[seq, seq, seq, seq] + [vec] * 16,
-        out_specs=[seq] + [vec] * 5,
+        in_specs=[seq, seq, seq, seq] + [vec] * 23,
+        out_specs=[seq] + [vec] * 7,
         out_shape=[jax.ShapeDtypeStruct((n, m), jnp.float32)]
-        + [jax.ShapeDtypeStruct((1, m), jnp.float32)] * 5,
+        + [jax.ShapeDtypeStruct((1, m), jnp.float32)] * 5
+        + [jax.ShapeDtypeStruct((1, m), jnp.int32),
+           jax.ShapeDtypeStruct((1, m), jnp.float32)],
         interpret=INTERPRET,
     )(x, env, amod, alive,
       b0[None, :], b1[None, :], b2[None, :], na1[None, :], na2[None, :],
       use_flt[None, :], use_sm[None, :], amp[None, :], smoothing[None, :],
       am_self[None, :], am_depth[None, :],
-      x1[None, :], x2[None, :], y1[None, :], y2[None, :], sg[None, :])
+      hold_on[None, :], hold_max[None, :], quant_on[None, :],
+      levels[None, :], inv_levels[None, :],
+      x1[None, :], x2[None, :], y1[None, :], y2[None, :], sg[None, :],
+      hc[None, :], hv[None, :])
     samples = outs[0]
     return (samples,) + tuple(o[0] for o in outs[1:])
 
 
-SLOT = 4096          # table slot: every small table lives in one slot
-SLOT_ROWS = SLOT // 128
+SLOT = 4096          # small-table slot: sine/saw/square/korg waves
+SLOT_MED = 32768     # medium-table slot: most sampled PCM fits here
 
 
-def _lut_kernel(slot_ref, tab_ref, idx_ref, out_ref):
-    del slot_ref                             # consumed by the index maps
-    t = tab_ref[0]                           # [32, 128] — the voice's table
-    i = idx_ref[0]                           # [R, 128] i32 sample indices
-    hi = jax.lax.shift_right_logical(i, jnp.int32(7))
-    lo = jax.lax.bitwise_and(i, jnp.int32(127))
-    acc = jnp.zeros(i.shape, jnp.float32)
-    # 32 masked lane-gathers: Mosaic supports dynamic per-lane gather only
-    # within one 128-lane row, so resolve each 128-entry chunk of the table
-    # in turn (hi >= 32, i.e. a big-table index, simply never matches and
-    # yields 0 — those voices resolve through the XLA gather roster)
-    # raw lax.gather with i32 indices: under jax_enable_x64,
-    # jnp.take_along_axis promotes indices to i64, which Mosaic rejects
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
-        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
-    for c in range(SLOT_ROWS):
-        bc = jnp.broadcast_to(t[c:c + 1, :], i.shape)
-        g = jax.lax.gather(
-            bc, lo[..., None], dnums, slice_sizes=(1, 1),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        acc = jnp.where(hi == c, g, acc)
-    out_ref[0] = acc
+def _make_lut_kernel(slot_rows):
+    def kernel(slot_ref, tab_ref, idx_ref, out_ref):
+        del slot_ref                         # consumed by the index maps
+        t = tab_ref[0]                       # [slot_rows, 128]
+        i = idx_ref[0]                       # [R, 128] i32 sample indices
+        hi = jax.lax.shift_right_logical(i, jnp.int32(7))
+        lo = jax.lax.bitwise_and(i, jnp.int32(127))
+        acc = jnp.zeros(i.shape, jnp.float32)
+        # masked lane-gathers: Mosaic supports dynamic per-lane gather only
+        # within one 128-lane row, so resolve each 128-entry chunk of the
+        # table in turn (hi >= slot_rows, i.e. an out-of-tier index, never
+        # matches and yields 0 — those voices resolve through a wider tier
+        # or the XLA gather roster).  Raw lax.gather with i32 indices:
+        # under jax_enable_x64 jnp.take_along_axis promotes indices to
+        # i64, which Mosaic rejects.
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+        for c in range(slot_rows):
+            bc = jnp.broadcast_to(t[c:c + 1, :], i.shape)
+            g = jax.lax.gather(
+                bc, lo[..., None], dnums, slice_sizes=(1, 1),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            acc = jnp.where(hi == c, g, acc)
+        out_ref[0] = acc
+
+    return kernel
 
 
-@jax.jit
-def table_lookup_pallas(table3, slot, idx):
+_LUT_KERNELS = {32: _make_lut_kernel(32), 256: _make_lut_kernel(256)}
+
+
+@functools.partial(jax.jit, static_argnames=("slot_size",))
+def table_lookup_pallas(table3, slot, idx, slot_size=SLOT):
     """Wavetable lookup out of VMEM instead of XLA's HBM gather.
 
-    table3: [n_slots, 32, 128] — the stacked table buffer, every table
-    aligned to a 4096-float slot (parallel/batch.py stack_timelines);
-    slot: [M] i32 per-voice slot index (table_off // 4096), scalar-prefetched
-    so each grid step DMAs exactly its voice's table;
-    idx: [M, N] i32 clipped sample indices, N % 128 == 0.
+    table3: [n_slots, slot_size//128, 128] — the stacked table buffer with
+    every table aligned to its tier's slot (parallel/batch.py
+    stack_timelines aligns tables <= 4096 samples to 4096 boundaries and
+    everything larger to 32768); slot: [M] i32 per-voice slot index
+    (table_off // slot_size), scalar-prefetched so each grid step DMAs
+    exactly its voice's table; idx: [M, N] i32 clipped sample indices,
+    N % 128 == 0.
 
-    Returns [M, N] f32 with out[m, t] = buffer[slot[m]*4096 + idx[m, t]]
-    for idx < 4096 (0 otherwise).  ~0.36 ns/lookup on v5e vs ~7 ns for the
-    XLA gather (reference hot loop: osc_next table read, synth.c:217-258).
+    Returns [M, N] f32 with out[m, t] = buffer[slot[m]*slot_size+idx[m,t]]
+    for idx < slot_size (0 otherwise).  Small tier: ~0.36 ns/lookup on
+    v5e vs ~7 ns for the XLA gather (reference hot loop: osc_next table
+    read, synth.c:217-258); the medium tier trades an 8x longer
+    masked-gather loop for killing the HBM gather on sampled-PCM voices.
     """
     m, n = idx.shape
     r = n // 128
+    rows = slot_size // 128
     idx3 = idx.reshape(m, r, 128)
     out = pl.pallas_call(
-        _lut_kernel,
+        _LUT_KERNELS[rows],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(m,),
             in_specs=[
                 # p*0 keeps the block indices i32 — bare 0 literals become
                 # i64 under jax_enable_x64, which Mosaic rejects
-                pl.BlockSpec((1, SLOT_ROWS, 128),
+                pl.BlockSpec((1, rows, 128),
                              lambda p, s: (s[p], p * 0, p * 0)),
                 pl.BlockSpec((1, r, 128), lambda p, s: (p, p * 0, p * 0)),
             ],

