@@ -63,7 +63,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from skred_tpu.assets import WaveBank
-    from skred_tpu.engine.fused import (render_fused_device,
+    from skred_tpu.engine.fused import (compute_feat, render_fused_device,
         render_fused_stream_device)
     from skred_tpu.engine.render import _render_jit  # noqa: F401 (compat import)
     from skred_tpu.host.timeline import compile_script, noise_stream
@@ -77,11 +77,25 @@ def main() -> None:
         return
 
     bank = WaveBank()
-    tls = [compile_script(p.read_text().splitlines(), SECONDS, bank=bank,
-                          script_dir=REF) for p in scripts]
 
-    # bucket by packed voice count (pow2) so the per-sample table gather —
-    # the TPU throughput ceiling — scales with each script's real polyphony
+    def compile_one(p):
+        # native C++ host compiler (bit-identical to the Python one,
+        # asserted by tests/test_native.py); fall back per script
+        try:
+            from skred_tpu.host.native import compile_script_native
+
+            return compile_script_native(p.read_text().splitlines(), SECONDS,
+                                         bank=bank, script_dir=REF)
+        except Exception:
+            return compile_script(p.read_text().splitlines(), SECONDS,
+                                  bank=bank, script_dir=REF)
+
+    tls = [compile_one(p) for p in scripts]
+
+    # bucket by (packed voices, fixed-point passes, static feature set) so
+    # each compiled program is specialized to exactly the DSP stages its
+    # scripts use — mixing a filter script into a no-filter bucket would
+    # put the biquad chain back into everyone's serial kernel
     buckets = {}
     compat_tls = []
     for tl in tls:
@@ -90,17 +104,15 @@ def main() -> None:
             continue
         st1 = pack_stacked(stack_timelines([tl]))
         vp = st1.params["amp"].shape[-1]
-        buckets.setdefault((vp, tl.fused_passes), []).append(tl)
-
-    noise = noise_stream(tls[0].num_blocks * tls[0].block)
-    noise_dev = jnp.asarray(noise)
+        buckets.setdefault((vp, tl.fused_passes, compute_feat(st1)),
+                           []).append(tl)
 
     total_audio = 0.0
     total_wall = 0.0
     detail = []
     checksum = 0.0
     CHUNK = 172   # ~2s of blocks: compiled shapes independent of duration
-    for (vp, passes), group in sorted(buckets.items()):
+    for (vp, passes, feat), group in sorted(buckets.items()):
         # fill each bucket to a batch that amortizes per-block overheads
         # (the per-block fixed cost dominates light buckets: 0.sk-class
         # scripts nearly double their throughput from 256 to 1024 rows)
@@ -110,19 +122,27 @@ def main() -> None:
         st = pack_stacked(stack_timelines(group))
         st = pad_segments_pow2(st)
         render_fused_stream_device(st, CHUNK, warmup_only=True)  # compile
-        t0 = time.time()
-        checksum += render_fused_stream_device(st, CHUNK)
-        wall = time.time() - t0
+        # best-of-2: the remote-tunnel device occasionally stalls mid-run;
+        # a second timed pass costs seconds and removes multi-x noise
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            cs = render_fused_stream_device(st, CHUNK)
+            wall = min(wall, time.time() - t0)
+        checksum += cs
         whole_chunks = st.num_blocks // CHUNK
         audio = st.batch * whole_chunks * CHUNK * st.block / 44100.0
         total_audio += audio
         total_wall += wall
+        fstr = ",".join(k for k, v in feat._asdict().items() if v)
         detail.append({"voices": int(vp), "passes": int(passes),
-                       "scripts": len(group), "wall_s": round(wall, 3),
+                       "feat": fstr, "scripts": len(group),
+                       "wall_s": round(wall, 3),
                        "x_rt": round(audio / wall, 1)})
     if compat_tls:
         from skred_tpu.parallel.batch import render_stacked
 
+        noise = noise_stream(compat_tls[0].num_blocks * compat_tls[0].block)
         group = compat_tls * REPLICAS
         st = stack_timelines(group)
         out = render_stacked(st, noise=noise)

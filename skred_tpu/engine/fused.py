@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 
@@ -55,6 +55,58 @@ def _fma(a, b, c, exact):
     reproduces the reference binary's single-rounding fma on any backend;
     fast mode is plain separately-rounded mul+add."""
     return _fma32(a, b, c) if exact else a * b + c
+
+
+class Feat(NamedTuple):
+    """Static per-batch DSP feature flags: which stages exist ANYWHERE in
+    the stacked timelines.  Stages that are off for the whole batch are
+    compiled out of the block pass and the serial Pallas kernels — the
+    offline analog of the reference's per-voice runtime skips
+    (synth.c:531-542), resolved at trace time instead."""
+
+    fm: bool = True          # any freq_mod_osc >= 0
+    cz: bool = True          # any cz_mode != 0
+    am: bool = True          # any amp_mod_osc >= 0
+    pm: bool = True          # any pan_mod_osc >= 0
+    am_self: bool = True     # any packed am_self flag
+    pm_self: bool = True
+    env: bool = True         # any use_amp_envelope
+    flt: bool = True         # any filter_mode != 0
+    sm: bool = True          # any smoother_enable
+    hold: bool = True        # any hold_max != 0
+    quant: bool = True       # any quantize != 0
+    noise: bool = True       # any noise-alt voice
+    finish: bool = True      # any one-shot voice (finished can flip)
+    direction: bool = True   # any reversed oscillator
+    disc: bool = True        # any disconnected voice
+    hold_copy: bool = True   # any copy_hold_from op
+
+
+def compute_feat(st) -> Feat:
+    """Derive the static feature flags from a (packed) StackedTimelines."""
+    p, o = st.params, st.ops
+    arr = lambda k: np.asarray(p[k])
+    oarr = lambda k: np.asarray(o[k])
+    return Feat(
+        fm=bool((arr("freq_mod_osc") >= 0).any()),
+        cz=bool((arr("cz_mode") != 0).any()),
+        am=bool((arr("amp_mod_osc") >= 0).any()),
+        pm=bool((arr("pan_mod_osc") >= 0).any()),
+        am_self=bool("am_self" in p and (arr("am_self") != 0).any()),
+        pm_self=bool("pm_self" in p and (arr("pm_self") != 0).any()),
+        env=bool((arr("use_amp_envelope") != 0).any()),
+        flt=bool((arr("filter_mode") != 0).any()),
+        sm=bool((arr("smoother_enable") != 0).any()),
+        hold=bool((arr("hold_max") != 0).any()),
+        quant=bool((arr("quantize") != 0).any()),
+        noise=bool((arr("table_index") == C.WAVE_TABLE_NOISE_ALT).any()),
+        finish=bool((arr("one_shot") != 0).any()
+                    or (oarr("set_finished")
+                        & (oarr("finished") != 0)).any()),
+        direction=bool((arr("direction") != 0).any()),
+        disc=bool((arr("disconnect") != 0).any()),
+        hold_copy=bool((oarr("copy_hold_from") >= 0).any()),
+    )
 
 
 def _affine_scan(a, b, x0, axis=-1):
@@ -199,26 +251,39 @@ def _read_block(est, prev_last, osc, delayed):
 
 
 def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
-                      exact=False, use_pallas=False):
+                      exact=False, use_pallas=False, feat=Feat(), N=None):
     """One block-level fixed-point pass: compute every voice's full block.
 
-    est: [B, V, N] modulator sample estimates; carry: state dict.
+    est: [B, V, N] modulator sample estimates (may be None when no
+    modulation feature is on); carry: state dict.  ``feat`` statically
+    prunes stages absent from the whole batch.
     Returns (samples [B,V,N], left, right, new_carry)."""
-    N = est.shape[-1]
-    B = est.shape[0]
+    if est is not None:
+        N = est.shape[-1]
+    B, V_ = p["amp"].shape
     active0 = p["amp"] != 0.0                       # [B, V]
 
     # ---- FM increments ----
-    fm = p["freq_mod_osc"]
-    fm_read = _read_block(est, carry["sample"], fm, p["fm_delayed"])
-    g = fm_read * p["freq_mod_depth"][..., None]
-    mod_inc = jnp.take_along_axis(p["phase_inc"], jnp.maximum(fm, 0), axis=1)
-    use_fm = (fm >= 0) & (p["fm_self"] == 0)
-    inc = jnp.where(use_fm[..., None],
-                    _fma((mod_inc * p["freq_scale"])[..., None], g,
-                         p["phase_inc"][..., None], exact),
-                    jnp.broadcast_to(p["phase_inc"][..., None], g.shape))
-    inc = jnp.where(p["direction"][..., None] != 0, -inc, inc)
+    if feat.fm:
+        fm = p["freq_mod_osc"]
+        fm_read = _read_block(est, carry["sample"], fm, p["fm_delayed"])
+        g = fm_read * p["freq_mod_depth"][..., None]
+        mod_inc = jnp.take_along_axis(p["phase_inc"], jnp.maximum(fm, 0),
+                                      axis=1)
+        use_fm = (fm >= 0) & (p["fm_self"] == 0)
+        inc = jnp.where(use_fm[..., None],
+                        _fma((mod_inc * p["freq_scale"])[..., None], g,
+                             p["phase_inc"][..., None], exact),
+                        jnp.broadcast_to(p["phase_inc"][..., None], g.shape))
+        if feat.direction:
+            inc = jnp.where(p["direction"][..., None] != 0, -inc, inc)
+        inc_row = None
+    else:
+        # no FM anywhere: the increment is constant within the block
+        inc_row = p["phase_inc"]
+        if feat.direction:
+            inc_row = jnp.where(p["direction"] != 0, -inc_row, inc_row)
+        inc = None
 
     # ---- phase walk ----
     # The phase recurrence is replicated with the reference's exact serial
@@ -233,25 +298,36 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     L = hi - lo
     os_noloop = (p["one_shot"] != 0) & (p["loop_enabled"] == 0)
     fin_prev = carry["finished"] != 0
-    is_noise_v = p["table_index"] == C.WAVE_TABLE_NOISE_ALT
-    adv_v = active0 & ~fin_prev & ~is_noise_v
+    if feat.noise:
+        is_noise_v = p["table_index"] == C.WAVE_TABLE_NOISE_ALT
+        adv_v = active0 & ~fin_prev & ~is_noise_v
+    else:
+        adv_v = active0 & ~fin_prev
 
-    B_, V_ = active0.shape
+    B_ = B
     if use_pallas:
         from skred_tpu.engine import kernels as K
 
         flat = lambda a: a.reshape(B_ * V_)
         ph_T, dead_T, ph_end_f, fin_end_f = K.phase_walk_pallas(
-            K.to_time_major(inc), flat(carry["phase"]),
-            flat(carry["finished"]),
+            K.to_time_major(inc) if feat.fm else flat(inc_row),
+            flat(carry["phase"]), flat(carry["finished"]),
             flat(lo), flat(hi), flat(L), flat(os_noloop.astype(jnp.int32)),
             flat(p["one_shot"]), flat(adv_v.astype(jnp.int32)),
-            flat(active0.astype(jnp.int32)))
+            flat(active0.astype(jnp.int32)),
+            fm=feat.fm, finish=feat.finish, n=N)
         ph32 = K.from_time_major(ph_T, B_, V_)
-        dead = K.from_time_major(dead_T, B_, V_) != 0
         ph_end = ph_end_f.reshape(B_, V_)
-        fin_end = fin_end_f.reshape(B_, V_) != 0
+        if feat.finish:
+            dead = K.from_time_major(dead_T, B_, V_) != 0
+            fin_end = fin_end_f.reshape(B_, V_) != 0
+        else:
+            dead = None
+            fin_end = fin_prev
     else:
+        if not feat.fm:
+            inc = jnp.broadcast_to(inc_row[..., None], (B_, V_, N))
+
         def ph_step(c, inc_t):
             ph_c, fin_c = c
             ph = ph_c + inc_t
@@ -277,16 +353,24 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         (ph_end, fin_end), (ph_seq, dead_seq) = jax.lax.scan(
             ph_step, (carry["phase"], fin_prev), jnp.moveaxis(inc, -1, 0))
         ph32 = jnp.moveaxis(ph_seq, 0, -1)       # [B, V, N]
-        dead = jnp.moveaxis(dead_seq, 0, -1)     # entering-dead per sample
+        if feat.finish:
+            dead = jnp.moveaxis(dead_seq, 0, -1)  # entering-dead per sample
+        else:
+            dead = None
+            fin_end = fin_prev
 
     # ---- table lookup (+ CZ) ----
-    cm = p["cz_mod_osc"]
-    cz_read = _read_block(est, carry["sample"], cm, p["cm_delayed"])
-    dm = jnp.where((cm >= 0)[..., None],
-                   cz_read * p["cz_mod_depth"][..., None], F32(1.0))
-    cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
-                        p["cz_distortion"][..., None] + dm, tsize_f[..., None])
-    idx_f = jnp.where((p["cz_mode"] != 0)[..., None], cz_idx, ph32)
+    if feat.cz:
+        cm = p["cz_mod_osc"]
+        cz_read = _read_block(est, carry["sample"], cm, p["cm_delayed"])
+        dm = jnp.where((cm >= 0)[..., None],
+                       cz_read * p["cz_mod_depth"][..., None], F32(1.0))
+        cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
+                            p["cz_distortion"][..., None] + dm,
+                            tsize_f[..., None])
+        idx_f = jnp.where((p["cz_mode"] != 0)[..., None], cz_idx, ph32)
+    else:
+        idx_f = ph32
     idx = jnp.clip(idx_f.astype(I32), 0,
                    jnp.maximum(p["table_size"] - 1, 0)[..., None])
     use_lut = (use_pallas and "small_voice" in p
@@ -339,48 +423,64 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     else:
         f_osc = table_buffer[p["table_off"][..., None] + idx]
 
-    is_noise = is_noise_v[..., None]
-    f = jnp.where(is_noise, noise_blk[None, None, :], f_osc)
-    alive = ~dead
-    f = jnp.where(alive, f, F32(0.0))
+    if feat.noise:
+        is_noise = is_noise_v[..., None]
+        f = jnp.where(is_noise, noise_blk[None, None, :], f_osc)
+    else:
+        f = f_osc
+    N_ = f.shape[-1]
+    if feat.finish:
+        alive = ~dead
+        f = jnp.where(alive, f, F32(0.0))
+    else:
+        # no one-shot voices: alive is constant within the block
+        alive = None
+        alive_row = active0
+        f = jnp.where(active0[..., None], f, F32(0.0))
 
     new_phase = ph_end
     new_finished = fin_end.astype(I32)
 
-    # alive prefix length per voice (dead is monotone within a block):
-    # states freeze at the last alive sample, like the reference's skip
-    N_ = f.shape[-1]
-    cnt = alive.sum(axis=-1).astype(I32)         # [B, V]
-    il = jnp.clip(cnt - 1, 0, N_ - 1)
-    any_alive = cnt >= 1
+    if feat.finish:
+        # alive prefix length per voice (dead is monotone within a block):
+        # states freeze at the last alive sample, like the reference's skip
+        cnt = alive.sum(axis=-1).astype(I32)     # [B, V]
+        il = jnp.clip(cnt - 1, 0, N_ - 1)
+        any_alive = cnt >= 1
 
-    # one-hot reductions instead of per-element gathers (slow on TPU)
-    tpos_f = np.arange(N_, dtype=np.int32)
-    oh_last = (il[..., None] == tpos_f).astype(F32)
-    oh_prev = (jnp.maximum(il - 1, 0)[..., None] == tpos_f).astype(F32)
+        # one-hot reductions instead of per-element gathers (slow on TPU)
+        tpos_f = np.arange(N_, dtype=np.int32)
+        oh_last = (il[..., None] == tpos_f).astype(F32)
 
-    def at_last(seq):
-        return (seq * oh_last).sum(axis=-1)
+        def at_last(seq):
+            return (seq * oh_last).sum(axis=-1)
+    else:
+        cnt = jnp.where(active0, N_, 0).astype(I32)
+        any_alive = active0
 
-    def at_prev(seq, fallback):
-        v = (seq * oh_prev).sum(axis=-1)
-        return jnp.where(cnt >= 2, v, fallback)
+        def at_last(seq):
+            return seq[..., -1]
 
     # ---- shared per-voice controls ----
     hold_on = (p["hold_max"] != 0)
     hm = jnp.maximum(p["hold_max"], 1)
-    levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
-    inv_levels = _div32(F32(1.0), jnp.maximum(levels, F32(1.0)))
-    env = jnp.where((p["use_amp_envelope"] != 0)[..., None],
-                    _envelope_block(counts, p) * p["env_velocity"][..., None],
-                    F32(1.0))
-    am = p["amp_mod_osc"]
-    am_read = _read_block(est, carry["sample"], am, p["am_delayed"])
+    if feat.quant:
+        levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
+        inv_levels = _div32(F32(1.0), jnp.maximum(levels, F32(1.0)))
+    if feat.env:
+        env = jnp.where(
+            (p["use_amp_envelope"] != 0)[..., None],
+            _envelope_block(counts, p) * p["env_velocity"][..., None],
+            F32(1.0))
+    if feat.am:
+        am = p["amp_mod_osc"]
+        am_read = _read_block(est, carry["sample"], am, p["am_delayed"])
+        ampmod_x = jnp.where((am >= 0)[..., None],
+                             am_read * p["amp_mod_depth"][..., None],
+                             F32(1.0))
     # amp-mod self-read sees the voice's own post-filter sample —
-    # resolved inside the scan below
+    # resolved inside the serial pass below
     am_self = p["am_self"] != 0
-    ampmod_x = jnp.where((am >= 0)[..., None],
-                         am_read * p["amp_mod_depth"][..., None], F32(1.0))
     use_flt = (p["filter_mode"] != 0)
     use_sm = (p["smoother_enable"] != 0)
     amp_ = p["amp"]
@@ -393,10 +493,14 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         from skred_tpu.engine import kernels as K
 
         flat = lambda a: a.reshape(B_ * V_)
+        kfeat = (feat.flt, feat.sm, feat.hold, feat.quant, feat.am_self,
+                 feat.env, feat.am, feat.finish)
         outs = K.filt_smooth_pallas(
-            K.to_time_major(f), K.to_time_major(env),
-            K.to_time_major(ampmod_x),
-            K.to_time_major(alive.astype(jnp.int32)),
+            K.to_time_major(f),
+            K.to_time_major(env) if feat.env else None,
+            K.to_time_major(ampmod_x) if feat.am else None,
+            (K.to_time_major(alive.astype(jnp.int32)) if feat.finish
+             else flat(active0.astype(jnp.int32))),
             flat(p["b0"]), flat(p["b1"]), flat(p["b2"]),
             flat(p["na1"]), flat(p["na2"]),
             flat(use_flt.astype(jnp.int32)), flat(use_sm.astype(jnp.int32)),
@@ -404,64 +508,92 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             flat(am_self.astype(jnp.int32)), flat(p["amp_mod_depth"]),
             flat(hold_on.astype(jnp.int32)), flat(hm.astype(jnp.int32)),
             flat((p["quantize"] != 0).astype(jnp.int32)),
-            flat(levels), flat(inv_levels),
+            flat(levels) if feat.quant else None,
+            flat(inv_levels) if feat.quant else None,
             flat(carry["x1"]), flat(carry["x2"]), flat(carry["y1"]),
             flat(carry["y2"]), flat(carry["smoother"]),
             flat(carry["hold_count"].astype(I32)), flat(carry["hold_val"]),
-            exact=exact)
+            exact=exact, feat=kfeat)
         samples = K.from_time_major(outs[0], B_, V_)
         (new_x1, new_x2, new_y1, new_y2, new_smoother, new_hold_count,
          new_hold_val) = (o.reshape(B_, V_) for o in outs[1:])
     else:
-        # ---- sample & hold ----
-        tpos = jnp.arange(N_, dtype=I32)
-        sh_cnt = (carry["hold_count"][..., None] + tpos[None, None, :]) % hm[..., None]
-        is_hold = sh_cnt == 0
-        # forward-fill of f at hold positions (no gather): associative scan
-        # on (value, seen) pairs where later holds override earlier ones
-        seed = jnp.concatenate(
-            [jnp.ones_like(is_hold[..., :1]), is_hold[..., 1:]], axis=-1)
-        seed0 = jnp.where(is_hold[..., :1], f[..., :1],
-                          carry["hold_val"][..., None])
-        vals = jnp.concatenate([seed0, f[..., 1:]], axis=-1)
+        alive_nm = alive if feat.finish \
+            else jnp.broadcast_to(active0[..., None], f.shape)
+        if feat.hold:
+            # ---- sample & hold ----
+            tpos = jnp.arange(N_, dtype=I32)
+            sh_cnt = (carry["hold_count"][..., None]
+                      + tpos[None, None, :]) % hm[..., None]
+            is_hold = sh_cnt == 0
+            # forward-fill of f at hold positions (no gather): associative
+            # scan on (value, seen) pairs, later holds override earlier
+            seed = jnp.concatenate(
+                [jnp.ones_like(is_hold[..., :1]), is_hold[..., 1:]], axis=-1)
+            seed0 = jnp.where(is_hold[..., :1], f[..., :1],
+                              carry["hold_val"][..., None])
+            vals = jnp.concatenate([seed0, f[..., 1:]], axis=-1)
 
-        def ff_combine(l, r):
-            lv, ls = l
-            rv, rs = r
-            return jnp.where(rs, rv, lv), ls | rs
+            def ff_combine(l, r):
+                lv, ls = l
+                rv, rs = r
+                return jnp.where(rs, rv, lv), ls | rs
 
-        held, _ = jax.lax.associative_scan(ff_combine, (vals, seed), axis=-1)
-        s1 = jnp.where(hold_on[..., None], held, f)
-        new_hold_count = jnp.where(hold_on & any_alive,
-                                   (carry["hold_count"] + cnt) % hm,
-                                   carry["hold_count"])
-        new_hold_val = jnp.where(hold_on & any_alive, at_last(held),
-                                 carry["hold_val"])
+            held, _ = jax.lax.associative_scan(ff_combine, (vals, seed),
+                                               axis=-1)
+            s1 = jnp.where(hold_on[..., None], held, f)
+            new_hold_count = jnp.where(hold_on & any_alive,
+                                       (carry["hold_count"] + cnt) % hm,
+                                       carry["hold_count"])
+            new_hold_val = jnp.where(hold_on & any_alive, at_last(held),
+                                     carry["hold_val"])
+        else:
+            s1 = f
+            new_hold_count = carry["hold_count"]
+            new_hold_val = carry["hold_val"]
 
-        # ---- quantizer ----
-        iv = _fma32(s1, levels[..., None], F32(0.5)).astype(I32).astype(F32)
-        s2 = jnp.where((p["quantize"] != 0)[..., None],
-                       iv * inv_levels[..., None], s1)
+        if feat.quant:
+            # ---- quantizer ----
+            iv = _fma32(s1, levels[..., None], F32(0.5)).astype(I32) \
+                .astype(F32)
+            s2 = jnp.where((p["quantize"] != 0)[..., None],
+                           iv * inv_levels[..., None], s1)
+        else:
+            s2 = s1
+
+        env_nm = env if feat.env else jnp.broadcast_to(F32(1.0), s2.shape)
+        am_nm = ampmod_x if feat.am else jnp.broadcast_to(F32(1.0), s2.shape)
 
         def fs_step(c, xs):
             x1, x2, y1, y2, sg = c
             x_t, env_t, amod_t, alive_t = xs
-            flt = p["b1"] * x1
-            flt = _fma(p["b0"], x_t, flt, exact)
-            flt = _fma(p["b2"], x2, flt, exact)
-            flt = _fma(p["na1"], y1, flt, exact)
-            flt = _fma(p["na2"], y2, flt, exact)
-            s3_t = jnp.where(use_flt, flt, x_t)
-            upd = alive_t & use_flt
-            nx1 = jnp.where(upd, x_t, x1)
-            nx2 = jnp.where(upd, x1, x2)
-            ny1 = jnp.where(upd, flt, y1)
-            ny2 = jnp.where(upd, y1, y2)
-            amod = jnp.where(am_self, s3_t * p["amp_mod_depth"], amod_t)
+            if feat.flt:
+                flt = p["b1"] * x1
+                flt = _fma(p["b0"], x_t, flt, exact)
+                flt = _fma(p["b2"], x2, flt, exact)
+                flt = _fma(p["na1"], y1, flt, exact)
+                flt = _fma(p["na2"], y2, flt, exact)
+                s3_t = jnp.where(use_flt, flt, x_t)
+                upd = alive_t & use_flt
+                nx1 = jnp.where(upd, x_t, x1)
+                nx2 = jnp.where(upd, x1, x2)
+                ny1 = jnp.where(upd, flt, y1)
+                ny2 = jnp.where(upd, y1, y2)
+            else:
+                s3_t = x_t
+                nx1, nx2, ny1, ny2 = x1, x2, y1, y2
+            if feat.am_self:
+                amod = jnp.where(am_self, s3_t * p["amp_mod_depth"], amod_t)
+            else:
+                amod = amod_t
             final_t = amp_ * env_t * amod
-            sg2 = _fma(smoothing, final_t - sg, sg, exact)
-            final2 = jnp.where(use_sm, sg2, final_t)
-            nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            if feat.sm:
+                sg2 = _fma(smoothing, final_t - sg, sg, exact)
+                final2 = jnp.where(use_sm, sg2, final_t)
+                nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            else:
+                final2 = final_t
+                nsg = sg
             out_t = jnp.where(alive_t, s3_t * final2, F32(0.0))
             return (nx1, nx2, ny1, ny2, nsg), out_t
 
@@ -469,27 +601,40 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             fs_step,
             (carry["x1"], carry["x2"], carry["y1"], carry["y2"],
              carry["smoother"]),
-            (jnp.moveaxis(s2, -1, 0), jnp.moveaxis(env, -1, 0),
-             jnp.moveaxis(ampmod_x, -1, 0), jnp.moveaxis(alive, -1, 0)))
+            (jnp.moveaxis(s2, -1, 0), jnp.moveaxis(env_nm, -1, 0),
+             jnp.moveaxis(am_nm, -1, 0), jnp.moveaxis(alive_nm, -1, 0)))
         samples = jnp.moveaxis(samples_seq, 0, -1)
         new_x1, new_x2, new_y1, new_y2 = nx1, nx2, ny1, ny2
         new_smoother = nsg
 
     # ---- pan ----
-    pm = p["pan_mod_osc"]
-    pm_read = _read_block(est, carry["sample"], pm, p["pm_delayed"])
-    pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples, pm_read)
-    qv = pm_read * p["pan_mod_depth"][..., None]
-    pan_mod_on = (pm >= 0) & (p["disconnect"] == 0)
-    pl = jnp.where(pan_mod_on[..., None], (F32(1.0) - qv) * F32(0.5),
-                   carry["pan_l"][..., None])
-    pr = jnp.where(pan_mod_on[..., None], (F32(1.0) + qv) * F32(0.5),
-                   carry["pan_r"][..., None])
-    act_pan = pan_mod_on & any_alive
-    new_pan_l = jnp.where(act_pan, at_last(pl), carry["pan_l"])
-    new_pan_r = jnp.where(act_pan, at_last(pr), carry["pan_r"])
+    if feat.pm:
+        pm = p["pan_mod_osc"]
+        pm_read = _read_block(est, carry["sample"], pm, p["pm_delayed"])
+        if feat.pm_self:
+            pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples,
+                                pm_read)
+        qv = pm_read * p["pan_mod_depth"][..., None]
+        pan_mod_on = (pm >= 0) & (p["disconnect"] == 0)
+        pl = jnp.where(pan_mod_on[..., None], (F32(1.0) - qv) * F32(0.5),
+                       carry["pan_l"][..., None])
+        pr = jnp.where(pan_mod_on[..., None], (F32(1.0) + qv) * F32(0.5),
+                       carry["pan_r"][..., None])
+        act_pan = pan_mod_on & any_alive
+        new_pan_l = jnp.where(act_pan, at_last(pl), carry["pan_l"])
+        new_pan_r = jnp.where(act_pan, at_last(pr), carry["pan_r"])
+    else:
+        pl = carry["pan_l"][..., None]
+        pr = carry["pan_r"][..., None]
+        new_pan_l = carry["pan_l"]
+        new_pan_r = carry["pan_r"]
 
-    contrib = alive & (p["disconnect"] == 0)[..., None]
+    if feat.disc:
+        nodisc = p["disconnect"] == 0
+        contrib = (alive & nodisc[..., None]) if feat.finish \
+            else (active0 & nodisc)[..., None]
+    else:
+        contrib = alive if feat.finish else active0[..., None]
     left = jnp.where(contrib, samples * pl, F32(0.0))
     right = jnp.where(contrib, samples * pr, F32(0.0))
 
@@ -502,7 +647,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     return samples, left, right, new_carry
 
 
-def _apply_ops_b(carry, ops, flag):
+def _apply_ops_b(carry, ops, flag, feat=Feat()):
     c = dict(carry)
     c["phase"] = jnp.where(flag & ops["set_phase"], ops["phase"], carry["phase"])
     c["finished"] = jnp.where(flag & ops["set_finished"], ops["finished"],
@@ -515,6 +660,8 @@ def _apply_ops_b(carry, ops, flag):
                               carry["smoother"])
     c["pan_l"] = jnp.where(flag & ops["set_pan"], ops["pan_left"], carry["pan_l"])
     c["pan_r"] = jnp.where(flag & ops["set_pan"], ops["pan_right"], carry["pan_r"])
+    if not feat.hold_copy:
+        return c
     src = jnp.maximum(ops["copy_hold_from"], 0)
     do = flag & (ops["copy_hold_from"] >= 0)
     c["hold_count"] = jnp.where(do, jnp.take_along_axis(carry["hold_count"], src, axis=1),
@@ -538,50 +685,54 @@ def make_carry0(B, Vp):
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "capture", "exact",
-                                             "use_pallas", "n_src"))
+                                             "use_pallas", "n_src", "feat"))
 def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                num_blocks, block, mod_passes, capture, exact=False,
-               use_pallas=False, n_src=0):
+               use_pallas=False, n_src=0, feat=Feat()):
     B, _, Vp = params["amp"].shape
     carry0 = make_carry0(B, Vp)
     _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
                           table_buffer, noise, 0, num_blocks, block,
-                          mod_passes, capture, exact, use_pallas, n_src)
+                          mod_passes, capture, exact, use_pallas, n_src, feat)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "exact",
-                                             "use_pallas", "n_src"))
+                                             "use_pallas", "n_src", "feat"))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
-                     mod_passes, exact=False, use_pallas=False, n_src=0):
+                     mod_passes, exact=False, use_pallas=False, n_src=0,
+                     feat=Feat()):
     """One streaming chunk: render `num_blocks` blocks starting at global
     block index `block0` (traced), carrying state in/out."""
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
-                       mod_passes, False, exact, use_pallas, n_src)
+                       mod_passes, False, exact, use_pallas, n_src, feat)
 
 
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
-                use_pallas, n_src=0):
+                use_pallas, n_src=0, feat=Feat()):
     B, _, Vp = params["amp"].shape
+    any_mod = feat.fm or feat.cz or feat.am or feat.pm
 
     def block_step(carry, k):
         seg = seg_of_block[:, k]                    # [B]
         p = {name: arr[jnp.arange(B), seg] for name, arr in params.items()}
         o = {name: arr[jnp.arange(B), seg] for name, arr in ops.items()}
-        carry = _apply_ops_b(carry, o, seg_is_start[:, k][:, None])
-        counts = ((block0 + k) * block + 1 + jnp.arange(block)).astype(I32)
-        nblk = jax.lax.dynamic_slice_in_dim(noise, k * block, block)
+        carry = _apply_ops_b(carry, o, seg_is_start[:, k][:, None], feat)
+        counts = ((block0 + k) * block + 1 + jnp.arange(block)).astype(I32) \
+            if feat.env else None
+        nblk = jax.lax.dynamic_slice_in_dim(noise, k * block, block) \
+            if feat.noise else None
 
         est = jnp.broadcast_to(carry["sample"][..., None],
-                               (B, Vp, block)).astype(F32)
+                               (B, Vp, block)).astype(F32) if any_mod else None
         # early fixed-point passes only need modulator-source blocks — run
         # them on the packed source prefix (the table gather is the TPU
         # throughput ceiling; sources are few)
-        if n_src and n_src < Vp:
+        if n_src and n_src < Vp and mod_passes > 1:
             # the rosters hold packed voice indices, not per-voice data —
             # their entries >= n_src one-hot to zero rows in the prefix pass
             p_src = {kk: (vv[:, :n_src]
@@ -593,16 +744,17 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             for _ in range(mod_passes - 1):
                 s_src, _, _, _ = _voice_block_pass(
                     est[:, :n_src], c_src, p_src, nblk, counts, table_buffer,
-                    exact, use_pallas)
+                    exact, use_pallas, feat, N=block)
                 est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
         else:
             for _ in range(mod_passes - 1):
                 samples, _, _, _ = _voice_block_pass(
                     est, carry, p, nblk, counts, table_buffer, exact,
-                    use_pallas)
+                    use_pallas, feat, N=block)
                 est = samples
         samples, left, right, new_carry = _voice_block_pass(
-            est, carry, p, nblk, counts, table_buffer, exact, use_pallas)
+            est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
+            feat, N=block)
 
         # ---- mix + volume smoother ----
         mix_l = left.sum(axis=1)                    # [B, N]
@@ -643,6 +795,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
     if exact is None:
         exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     table = jnp.asarray(st.table_buffer)
+    feat = compute_feat(st)
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
     sis = np.asarray(st.seg_is_start)
@@ -655,7 +808,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
             table, jnp.asarray(n), jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
-            exact=exact, use_pallas=use_pallas, n_src=st.n_src)
+            exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat)
         yield np.asarray(outs).swapaxes(0, 1).reshape(B, nb * st.block, 2)
 
 
@@ -697,6 +850,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     params = {k: jnp.asarray(v) for k, v in params0.items()}
     ops = {k: jnp.asarray(v) for k, v in st.ops.items()}
     table = jnp.asarray(st.table_buffer)
+    feat = compute_feat(st)
     B = st.batch
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
@@ -712,7 +866,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
             jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
             table, n, jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
-            exact=exact, use_pallas=use_pallas, n_src=st.n_src)
+            exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat)
         if warmup_only:
             break
     if outs is None:
@@ -763,7 +917,8 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                       jnp_.asarray(st.table_buffer), jnp_.asarray(noise),
                       num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=False, exact=exact,
-                      use_pallas=use_pallas, n_src=st.n_src)
+                      use_pallas=use_pallas, n_src=st.n_src,
+                      feat=compute_feat(st))
 
 
 def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
@@ -824,7 +979,8 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
                       put_b(st.seg_is_start), put_r(st.table_buffer),
                       put_r(noise), num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=capture, exact=exact,
-                      use_pallas=use_pallas, n_src=st.n_src)
+                      use_pallas=use_pallas, n_src=st.n_src,
+                      feat=compute_feat(st))
     if capture:
         out, cap = outs
         return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],

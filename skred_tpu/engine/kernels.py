@@ -61,195 +61,378 @@ def _kfma(a, b, c):
 LANES = 512          # lanes per grid step (4 VPU registers wide)
 
 
-def _phase_kernel(inc_ref, phase0_ref, fin0_ref, lo_ref, hi_ref, l_ref,
-                  osn_ref, oneshot_ref, adv_ref, act_ref,
-                  ph_out_ref, dead_out_ref, phase_end_ref, fin_end_ref):
-    n = inc_ref.shape[0]
-    lo = lo_ref[0, :]
-    hi = hi_ref[0, :]
-    L = l_ref[0, :]
-    osn = osn_ref[0, :] != 0
-    one_shot = oneshot_ref[0, :] != 0
-    adv = adv_ref[0, :] != 0
-    act = act_ref[0, :] != 0
+def _make_phase_kernel(fm: bool, finish: bool):
+    """Specialized phase-walk kernel (reference: osc_next synth.c:217-258).
 
-    def body(t, carry):
-        ph_c, fin_c = carry                      # fin_c: int32 0/1
-        inc_t = inc_ref[t, :]
-        ph = ph_c + inc_t
-        bad = ~jnp.isfinite(ph)
-        over = ph >= hi
-        under = ph < lo
-        wrap_over = lo + jnp.fmod(ph - lo, L)
-        wrap_under = hi - jnp.fmod(lo - ph, L)
-        ph2 = jnp.where(over, jnp.where(osn, hi - F32(1e-6), wrap_over),
-                        jnp.where(under, jnp.where(osn, lo, wrap_under), ph))
-        ph2 = jnp.where(bad, F32(0.0), ph2)
-        fin_new = (bad & one_shot) | ((over | under) & osn)
-        fin_b = fin_c != 0
-        step_on = adv & ~fin_b
-        dead_t = fin_b | ~act
-        ph_keep = jnp.where(step_on, ph2, ph_c)
-        fin_keep = jnp.where(step_on & fin_new, jnp.int32(1), fin_c)
-        ph_out_ref[t, :] = ph2
-        dead_out_ref[t, :] = dead_t.astype(I32)
-        return ph_keep, fin_keep
+    fm: per-sample increments ([N, M]) vs one per-voice increment ([1, M],
+    the no-frequency-modulation case — inc is constant within a block).
+    finish: one-shot voices exist, so the finished flag can flip mid-block
+    and per-sample dead masks must be emitted; without it the loop body
+    drops the entire finish/dead bookkeeping."""
 
-    ph_e, fin_e = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(n), body,
-        (phase0_ref[0, :], fin0_ref[0, :]))
-    phase_end_ref[0, :] = ph_e
-    fin_end_ref[0, :] = fin_e
+    def kernel(*refs):
+        it = iter(refs)
+        inc_ref = next(it)
+        phase0_ref = next(it)
+        fin0_ref = next(it) if finish else None
+        lo_ref, hi_ref, l_ref = next(it), next(it), next(it)
+        if finish:
+            osn_ref, oneshot_ref = next(it), next(it)
+        adv_ref = next(it)
+        act_ref = next(it) if finish else None
+        ph_out_ref = next(it)
+        if finish:
+            dead_out_ref = next(it)
+        phase_end_ref = next(it)
+        if finish:
+            fin_end_ref = next(it)
+
+        n = ph_out_ref.shape[0]
+        lo = lo_ref[0, :]
+        hi = hi_ref[0, :]
+        L = l_ref[0, :]
+        adv = adv_ref[0, :] != 0
+        if finish:
+            osn = osn_ref[0, :] != 0
+            one_shot = oneshot_ref[0, :] != 0
+            act = act_ref[0, :] != 0
+        if not fm:
+            inc_const = inc_ref[0, :]
+
+        def body(t, carry):
+            ph_c, fin_c = carry                  # fin_c: int32 0/1
+            inc_t = inc_ref[t, :] if fm else inc_const
+            ph = ph_c + inc_t
+            bad = ~jnp.isfinite(ph)
+            over = ph >= hi
+            under = ph < lo
+            wrap_over = lo + jnp.fmod(ph - lo, L)
+            wrap_under = hi - jnp.fmod(lo - ph, L)
+            if finish:
+                ph2 = jnp.where(
+                    over, jnp.where(osn, hi - F32(1e-6), wrap_over),
+                    jnp.where(under, jnp.where(osn, lo, wrap_under), ph))
+            else:
+                ph2 = jnp.where(over, wrap_over,
+                                jnp.where(under, wrap_under, ph))
+            ph2 = jnp.where(bad, F32(0.0), ph2)
+            if finish:
+                fin_new = (bad & one_shot) | ((over | under) & osn)
+                fin_b = fin_c != 0
+                step_on = adv & ~fin_b
+                dead_t = fin_b | ~act
+                ph_keep = jnp.where(step_on, ph2, ph_c)
+                fin_keep = jnp.where(step_on & fin_new, jnp.int32(1), fin_c)
+                dead_out_ref[t, :] = dead_t.astype(I32)
+            else:
+                ph_keep = jnp.where(adv, ph2, ph_c)
+                fin_keep = fin_c
+            ph_out_ref[t, :] = ph2
+            return ph_keep, fin_keep
+
+        fin0 = fin0_ref[0, :] if finish else jnp.zeros_like(phase0_ref[0, :],
+                                                            dtype=I32)
+        ph_e, fin_e = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n), body, (phase0_ref[0, :], fin0))
+        phase_end_ref[0, :] = ph_e
+        if finish:
+            fin_end_ref[0, :] = fin_e
+
+    return kernel
+
+
+_PHASE_KERNELS = {(fm, fin): _make_phase_kernel(fm, fin)
+                  for fm in (False, True) for fin in (False, True)}
 
 
 INTERPRET = False    # set True to run kernels in interpreter mode (tests)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def phase_walk_pallas(inc, phase0, fin0, lo, hi, L, osn, one_shot, adv, act):
-    """inc: [N, M]; everything else [M].  M must be a multiple of LANES.
-    Returns (ph [N, M], dead [N, M] i32, phase_end [M], fin_end [M])."""
-    n, m = inc.shape
+@functools.partial(jax.jit, static_argnames=("fm", "finish", "n"))
+def phase_walk_pallas(inc, phase0, fin0, lo, hi, L, osn, one_shot, adv, act,
+                      fm=True, finish=True, n=None):
+    """inc: [N, M] (fm) or [M] (constant per block, pass static ``n``);
+    everything else [M].  M must be a multiple of LANES.  Returns
+    (ph [N, M], dead [N, M] i32 or None, phase_end [M],
+    fin_end [M] or None)."""
+    m = inc.shape[-1]
     assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
     grid = (m // LANES,)
-    seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
     vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
+    if fm:
+        n = inc.shape[0]
+        seq_in = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
+        inc_in = inc
+    else:
+        assert n is not None, "constant-inc phase walk needs static n"
+        seq_in = vec
+        inc_in = inc[None, :]
+    seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
+
+    ins = [inc_in, phase0[None, :]]
+    in_specs = [seq_in, vec]
+    if finish:
+        ins += [fin0[None, :]]
+        in_specs += [vec]
+    ins += [lo[None, :], hi[None, :], L[None, :]]
+    in_specs += [vec, vec, vec]
+    if finish:
+        ins += [osn[None, :], one_shot[None, :]]
+        in_specs += [vec, vec]
+    ins += [adv[None, :]]
+    in_specs += [vec]
+    if finish:
+        ins += [act[None, :]]
+        in_specs += [vec]
+
+    out_specs = [seq]
+    out_shape = [jax.ShapeDtypeStruct((n, m), jnp.float32)]
+    if finish:
+        out_specs += [seq]
+        out_shape += [jax.ShapeDtypeStruct((n, m), jnp.int32)]
+    out_specs += [vec]
+    out_shape += [jax.ShapeDtypeStruct((1, m), jnp.float32)]
+    if finish:
+        out_specs += [vec]
+        out_shape += [jax.ShapeDtypeStruct((1, m), jnp.int32)]
+
     out = pl.pallas_call(
-        _phase_kernel,
+        _PHASE_KERNELS[(bool(fm), bool(finish))],
         grid=grid,
-        in_specs=[seq] + [vec] * 9,
-        out_specs=[seq, seq, vec, vec],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, m), jnp.float32),
-            jax.ShapeDtypeStruct((n, m), jnp.int32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=INTERPRET,
-    )(inc, phase0[None, :], fin0[None, :], lo[None, :], hi[None, :],
-      L[None, :], osn[None, :], one_shot[None, :], adv[None, :], act[None, :])
-    ph, dead, ph_end, fin_end = out
-    return ph, dead, ph_end[0], fin_end[0]
+    )(*ins)
+    if finish:
+        ph, dead, ph_end, fin_end = out
+        return ph, dead, ph_end[0], fin_end[0]
+    ph, ph_end = out
+    return ph, None, ph_end[0], None
 
 
-def _make_fs_kernel(exact):
+def _make_fs_kernel(exact, feat):
+    """Specialized S&H + quantizer + biquad + smoother serial kernel.
+
+    ``feat`` is an FsFeat: flags for which DSP stages exist anywhere in the
+    batch (computed statically from the compiled timelines).  Stages that
+    are off for the whole batch vanish from the loop body — for a simple
+    no-filter script the exact-fma chain (the expensive part of exact
+    mode) disappears entirely."""
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
+    flt, sm, hold, quant, am_self_f, env_a, am_a, alive_a = feat
 
-    def kernel(x_ref, env_ref, amod_ref, alive_ref,
-               b0_ref, b1_ref, b2_ref, na1_ref, na2_ref,
-               useflt_ref, usesm_ref, amp_ref, smoothing_ref,
-               amself_ref, amdepth_ref,
-               holdon_ref, holdmax_ref, quant_ref, levels_ref, invlev_ref,
-               x1_ref, x2_ref, y1_ref, y2_ref, sg_ref, hc_ref, hv_ref,
-               out_ref, x1o_ref, x2o_ref, y1o_ref, y2o_ref, sgo_ref,
-               hco_ref, hvo_ref):
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        alive_ref = next(it)
+        env_ref = next(it) if env_a else None
+        amod_ref = next(it) if am_a else None
+        amp = next(it)[0, :]
+        if flt:
+            b0, b1, b2 = next(it)[0, :], next(it)[0, :], next(it)[0, :]
+            na1, na2 = next(it)[0, :], next(it)[0, :]
+            use_flt = next(it)[0, :] != 0
+        if sm:
+            use_sm = next(it)[0, :] != 0
+            smoothing = next(it)[0, :]
+        if am_self_f:
+            am_self = next(it)[0, :] != 0
+            am_depth = next(it)[0, :]
+        if hold:
+            hold_on = next(it)[0, :] != 0
+            hmax = next(it)[0, :]
+        if quant:
+            quant_on = next(it)[0, :] != 0
+            levels = next(it)[0, :]
+            inv_lev = next(it)[0, :]
+        if flt:
+            x1_in, x2_in = next(it)[0, :], next(it)[0, :]
+            y1_in, y2_in = next(it)[0, :], next(it)[0, :]
+        if sm:
+            sg_in = next(it)[0, :]
+        if hold:
+            hc_in, hv_in = next(it)[0, :], next(it)[0, :]
+        out_ref = next(it)
+        if flt:
+            x1o, x2o, y1o, y2o = next(it), next(it), next(it), next(it)
+        if sm:
+            sgo = next(it)
+        if hold:
+            hco, hvo = next(it), next(it)
+
         n = x_ref.shape[0]
-        b0 = b0_ref[0, :]
-        b1 = b1_ref[0, :]
-        b2 = b2_ref[0, :]
-        na1 = na1_ref[0, :]
-        na2 = na2_ref[0, :]
-        use_flt = useflt_ref[0, :] != 0
-        use_sm = usesm_ref[0, :] != 0
-        amp = amp_ref[0, :]
-        smoothing = smoothing_ref[0, :]
-        am_self = amself_ref[0, :] != 0
-        am_depth = amdepth_ref[0, :]
-        hold_on = holdon_ref[0, :] != 0
-        hmax = holdmax_ref[0, :]
-        quant_on = quant_ref[0, :] != 0
-        levels = levels_ref[0, :]
-        inv_lev = invlev_ref[0, :]
+        zero_f = jnp.zeros_like(amp)
+        zero_i = jnp.zeros_like(amp, dtype=I32)
+        if not alive_a:
+            alive_row = alive_ref[0, :] != 0
 
         def body(t, carry):
             x1, x2, y1, y2, sg, hc, hv = carry
             f_t = x_ref[t, :]
-            alive_t = alive_ref[t, :] != 0
-            # sample & hold (synth.c:560-571): refresh on counter wrap,
-            # advance only while the voice is alive
-            is_h = hold_on & (hc == 0)
-            hv2 = jnp.where(is_h, f_t, hv)
-            s1 = jnp.where(hold_on, hv2, f_t)
-            hcn = hc + jnp.int32(1)
-            hcn = jnp.where(hcn >= hmax, jnp.int32(0), hcn)
-            nhv = jnp.where(alive_t, hv2, hv)
-            nhc = jnp.where(alive_t & hold_on, hcn, hc)
-            # bit quantizer (synth.c:341-345) — gcc contracts the
-            # multiply-add, so always the exact fma
-            iv = _kfma(s1, levels, F32(0.5)).astype(I32).astype(F32)
-            x_t = jnp.where(quant_on, iv * inv_lev, s1)
-            # gcc -O3 order: b1*x1 rounded separately, then an fma chain
-            flt = b1 * x1
-            flt = fma(b0, x_t, flt)
-            flt = fma(b2, x2, flt)
-            flt = fma(na1, y1, flt)
-            flt = fma(na2, y2, flt)
-            s3 = jnp.where(use_flt, flt, x_t)
-            upd = alive_t & use_flt
-            nx1 = jnp.where(upd, x_t, x1)
-            nx2 = jnp.where(upd, x1, x2)
-            ny1 = jnp.where(upd, flt, y1)
-            ny2 = jnp.where(upd, y1, y2)
-            amod = jnp.where(am_self, s3 * am_depth, amod_ref[t, :])
-            final_t = amp * env_ref[t, :] * amod
-            sg2 = fma(smoothing, final_t - sg, sg)
-            final2 = jnp.where(use_sm, sg2, final_t)
-            nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            alive_t = (alive_ref[t, :] != 0) if alive_a else alive_row
+            if hold:
+                # sample & hold (synth.c:560-571): refresh on counter
+                # wrap, advance only while the voice is alive
+                is_h = hold_on & (hc == 0)
+                hv2 = jnp.where(is_h, f_t, hv)
+                s1 = jnp.where(hold_on, hv2, f_t)
+                hcn = hc + jnp.int32(1)
+                hcn = jnp.where(hcn >= hmax, jnp.int32(0), hcn)
+                nhv = jnp.where(alive_t, hv2, hv)
+                nhc = jnp.where(alive_t & hold_on, hcn, hc)
+            else:
+                s1 = f_t
+                nhc, nhv = hc, hv
+            if quant:
+                # bit quantizer (synth.c:341-345) — gcc contracts the
+                # multiply-add, so always the exact fma
+                iv = _kfma(s1, levels, F32(0.5)).astype(I32).astype(F32)
+                x_t = jnp.where(quant_on, iv * inv_lev, s1)
+            else:
+                x_t = s1
+            if flt:
+                # gcc -O3 order: b1*x1 rounded separately, then fma chain
+                fv = b1 * x1
+                fv = fma(b0, x_t, fv)
+                fv = fma(b2, x2, fv)
+                fv = fma(na1, y1, fv)
+                fv = fma(na2, y2, fv)
+                s3 = jnp.where(use_flt, fv, x_t)
+                upd = alive_t & use_flt
+                nx1 = jnp.where(upd, x_t, x1)
+                nx2 = jnp.where(upd, x1, x2)
+                ny1 = jnp.where(upd, fv, y1)
+                ny2 = jnp.where(upd, y1, y2)
+            else:
+                s3 = x_t
+                nx1, nx2, ny1, ny2 = x1, x2, y1, y2
+            amod = amod_ref[t, :] if am_a else F32(1.0)
+            if am_self_f:
+                amod = jnp.where(am_self, s3 * am_depth, amod)
+            final_t = amp * env_ref[t, :] if env_a else amp
+            final_t = final_t * amod
+            if sm:
+                sg2 = fma(smoothing, final_t - sg, sg)
+                final2 = jnp.where(use_sm, sg2, final_t)
+                nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            else:
+                final2 = final_t
+                nsg = sg
             out_ref[t, :] = jnp.where(alive_t, s3 * final2, F32(0.0))
             return nx1, nx2, ny1, ny2, nsg, nhc, nhv
 
+        init = (x1_in if flt else zero_f, x2_in if flt else zero_f,
+                y1_in if flt else zero_f, y2_in if flt else zero_f,
+                sg_in if sm else zero_f,
+                hc_in if hold else zero_i, hv_in if hold else zero_f)
         x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n), body,
-            (x1_ref[0, :], x2_ref[0, :], y1_ref[0, :], y2_ref[0, :],
-             sg_ref[0, :], hc_ref[0, :], hv_ref[0, :]))
-        x1o_ref[0, :] = x1
-        x2o_ref[0, :] = x2
-        y1o_ref[0, :] = y1
-        y2o_ref[0, :] = y2
-        sgo_ref[0, :] = sg
-        hco_ref[0, :] = hc
-        hvo_ref[0, :] = hv
+            jnp.int32(0), jnp.int32(n), body, init)
+        if flt:
+            x1o[0, :] = x1
+            x2o[0, :] = x2
+            y1o[0, :] = y1
+            y2o[0, :] = y2
+        if sm:
+            sgo[0, :] = sg
+        if hold:
+            hco[0, :] = hc
+            hvo[0, :] = hv
 
     return kernel
 
 
-_FS_KERNELS = {False: _make_fs_kernel(False), True: _make_fs_kernel(True)}
+@functools.lru_cache(maxsize=None)
+def _fs_kernel_for(exact, feat):
+    return _make_fs_kernel(exact, feat)
 
 
-@functools.partial(jax.jit, static_argnames=("exact",))
+@functools.partial(jax.jit, static_argnames=("exact", "feat"))
 def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
                        use_flt, use_sm, amp, smoothing, am_self, am_depth,
                        hold_on, hold_max, quant_on, levels, inv_levels,
-                       x1, x2, y1, y2, sg, hc, hv, exact=False):
+                       x1, x2, y1, y2, sg, hc, hv, exact=False, feat=None):
     """Sample&hold + quantizer + biquad + amp smoother in one serial pass.
 
-    x/env/amod/alive: [N, M]; params/state: [M].  Returns
-    (samples [N, M], x1, x2, y1, y2, sg, hold_count, hold_val)."""
+    x: [N, M]; alive: [N, M] or [M] (constant within the block);
+    env/amod: [N, M] or None (constant 1); params/state: [M].  ``feat`` is
+    the FsFeat flag tuple (flt, sm, hold, quant, am_self, env, am,
+    alive_arr); None means everything on (legacy full kernel).  Returns
+    (samples [N, M], x1, x2, y1, y2, sg, hold_count, hold_val) — state
+    outputs for disabled stages are passed through unchanged."""
     n, m = x.shape
     assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
+    if feat is None:
+        feat = (True, True, True, True, True, True, True, True)
+    flt, sm, hold, quant, am_self_f, env_a, am_a, alive_a = feat
     grid = (m // LANES,)
     seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
     vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
+
+    ins = [x]
+    in_specs = [seq]
+    if alive_a:
+        ins.append(alive)
+        in_specs.append(seq)
+    else:
+        ins.append(alive[None, :])
+        in_specs.append(vec)
+    if env_a:
+        ins.append(env)
+        in_specs.append(seq)
+    if am_a:
+        ins.append(amod)
+        in_specs.append(seq)
+
+    def add_vec(*arrs):
+        for a in arrs:
+            ins.append(a[None, :])
+            in_specs.append(vec)
+
+    add_vec(amp)
+    if flt:
+        add_vec(b0, b1, b2, na1, na2, use_flt)
+    if sm:
+        add_vec(use_sm, smoothing)
+    if am_self_f:
+        add_vec(am_self, am_depth)
+    if hold:
+        add_vec(hold_on, hold_max)
+    if quant:
+        add_vec(quant_on, levels, inv_levels)
+    if flt:
+        add_vec(x1, x2, y1, y2)
+    if sm:
+        add_vec(sg)
+    if hold:
+        add_vec(hc, hv)
+
+    out_specs = [seq]
+    out_shape = [jax.ShapeDtypeStruct((n, m), jnp.float32)]
+    n_state_f = (4 if flt else 0) + (1 if sm else 0)
+    for _ in range(n_state_f):
+        out_specs.append(vec)
+        out_shape.append(jax.ShapeDtypeStruct((1, m), jnp.float32))
+    if hold:
+        out_specs += [vec, vec]
+        out_shape += [jax.ShapeDtypeStruct((1, m), jnp.int32),
+                      jax.ShapeDtypeStruct((1, m), jnp.float32)]
+
     outs = pl.pallas_call(
-        _FS_KERNELS[bool(exact)],
+        _fs_kernel_for(bool(exact), feat),
         grid=grid,
-        in_specs=[seq, seq, seq, seq] + [vec] * 23,
-        out_specs=[seq] + [vec] * 7,
-        out_shape=[jax.ShapeDtypeStruct((n, m), jnp.float32)]
-        + [jax.ShapeDtypeStruct((1, m), jnp.float32)] * 5
-        + [jax.ShapeDtypeStruct((1, m), jnp.int32),
-           jax.ShapeDtypeStruct((1, m), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=INTERPRET,
-    )(x, env, amod, alive,
-      b0[None, :], b1[None, :], b2[None, :], na1[None, :], na2[None, :],
-      use_flt[None, :], use_sm[None, :], amp[None, :], smoothing[None, :],
-      am_self[None, :], am_depth[None, :],
-      hold_on[None, :], hold_max[None, :], quant_on[None, :],
-      levels[None, :], inv_levels[None, :],
-      x1[None, :], x2[None, :], y1[None, :], y2[None, :], sg[None, :],
-      hc[None, :], hv[None, :])
+    )(*ins)
     samples = outs[0]
-    return (samples,) + tuple(o[0] for o in outs[1:])
+    it = iter(outs[1:])
+    nx1, nx2, ny1, ny2 = (next(it)[0], next(it)[0], next(it)[0],
+                          next(it)[0]) if flt else (x1, x2, y1, y2)
+    nsg = next(it)[0] if sm else sg
+    nhc, nhv = (next(it)[0], next(it)[0]) if hold else (hc, hv)
+    return samples, nx1, nx2, ny1, ny2, nsg, nhc, nhv
 
 
 SLOT = 4096          # small-table slot: sine/saw/square/korg waves

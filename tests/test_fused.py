@@ -50,10 +50,17 @@ def test_fused_batch_dedup(reference_dir, session_bank):
         assert 20 * np.log10(err + 1e-30) <= -60.0
 
 
-def test_pallas_kernels_interpret(reference_dir, session_bank):
+# scripts chosen to hit the feature-specialized kernel variants:
+# 0.sk fm-only; 14.sk nothing (const-inc phase walk, no-state amp kernel);
+# 21.sk filter; 30.sk envelope; 35.sk hold+quant+one-shot+loop;
+# 46.sk pan-mod+filter+hold+quant+direction+finish
+@pytest.mark.parametrize("script",
+                         ["0.sk", "14.sk", "21.sk", "30.sk", "35.sk",
+                          "46.sk"])
+def test_pallas_kernels_interpret(reference_dir, session_bank, script):
     from skred_tpu.engine import kernels
 
-    tl = compile_script((reference_dir / "0.sk").read_text().splitlines(),
+    tl = compile_script((reference_dir / script).read_text().splitlines(),
                         0.05, bank=session_bank.fork(),
                         script_dir=reference_dir, block=128)
     st = stack_timelines([tl] * 3)

@@ -73,15 +73,18 @@ def main() -> None:
 
     import numpy as np
 
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
-    names = sys.argv[2:] or DEFAULT
+    args = [a for a in sys.argv[1:] if a != "--bucketed"]
+    bucketed = "--bucketed" in sys.argv[1:]
+    seconds = float(args[0]) if args else 3.0
+    names = args[1:] or DEFAULT
     if names == ["all"]:
         names = sorted(p.name for p in REF.glob("*.sk"))
 
     from skred_tpu.assets import WaveBank
-    from skred_tpu.engine.fused import render_fused_device
+    from skred_tpu.engine.fused import (compute_feat, render_fused,
+                                        render_fused_device)
     from skred_tpu.host.timeline import compile_script
-    from skred_tpu.parallel.batch import stack_timelines
+    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
 
     bank = WaveBank()
     tls = []
@@ -94,14 +97,36 @@ def main() -> None:
             continue
         tls.append(tl)
         kept.append(n)
-    st = stack_timelines(tls)
 
     t0 = time.time()
-    out = np.asarray(render_fused_device(st, use_pallas=True))
-    b_padded = out.shape[1]            # render_fused_device pads the batch
-    out = np.moveaxis(out, 0, 1).reshape(b_padded, -1, 2)[: len(kept)]
-    print(f"TPU render: {time.time() - t0:.1f}s "
-          f"({len(kept)} scripts, batch padded to {b_padded})")
+    if bucketed:
+        # group exactly like bench.py: each (voices, passes, feature-set)
+        # bucket compiles its own specialized program — validates every
+        # kernel/glue variant the bench will time, on the real chip
+        buckets = {}
+        for n, tl in zip(kept, tls):
+            st1 = pack_stacked(stack_timelines([tl]))
+            vp = st1.params["amp"].shape[-1]
+            key = (vp, tl.fused_passes, compute_feat(st1))
+            buckets.setdefault(key, []).append((n, tl))
+        outs = {}
+        for key, group in sorted(buckets.items()):
+            gn = [n for n, _ in group]
+            st = stack_timelines([tl for _, tl in group])
+            o = render_fused(st, use_pallas=True)      # pads + unpads batch
+            for i, n in enumerate(gn):
+                outs[n] = o[i]
+            print(f"bucket v{key[0]} p{key[1]} {gn}: done", flush=True)
+        out = np.stack([outs[n] for n in kept])
+        print(f"TPU render: {time.time() - t0:.1f}s "
+              f"({len(kept)} scripts, {len(buckets)} buckets)")
+    else:
+        st = stack_timelines(tls)
+        out = np.asarray(render_fused_device(st, use_pallas=True))
+        b_padded = out.shape[1]        # render_fused_device pads the batch
+        out = np.moveaxis(out, 0, 1).reshape(b_padded, -1, 2)[: len(kept)]
+        print(f"TPU render: {time.time() - t0:.1f}s "
+              f"({len(kept)} scripts, batch padded to {b_padded})")
 
     with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
         np.savez(f, out=out, names=json.dumps(kept), seconds=seconds)
