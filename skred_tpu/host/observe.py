@@ -102,6 +102,81 @@ def wavetable_show(bank, n: int, preview: Optional[int] = None) -> str:
     return "\n".join(out)
 
 
+# scope trigger modes (reference: scope_trigger_t + find_start_triggered,
+# scope.c:90-157): align the display window to a stable feature of the
+# waveform so periodic signals hold still on screen
+TRIGGER_NONE = 0
+TRIGGER_ZERO_RISING = 1
+TRIGGER_ZERO_RISING_HYST = 2
+TRIGGER_ZERO_SLOPE = 3
+TRIGGER_PEAK = 4
+
+_ZERO_EPS = 0.0
+_HYST_LOW = -0.02
+_HYST_HIGH = 0.02
+_MIN_LEVEL = 0.05
+_MIN_SLOPE = 0.01
+
+
+def find_start_triggered(left: np.ndarray, right: np.ndarray,
+                         write_ptr: int, window: int,
+                         mode: int = TRIGGER_ZERO_RISING) -> int:
+    """Port of the scope's trigger search (scope.c:90-157): walk backwards
+    from ``write_ptr`` over the mono average of the stereo ring, up to two
+    screen-widths, returning the index of the trigger point.
+
+    Modes: zero-rising, zero-rising with +-0.02 hysteresis (and a minimum
+    level gate), hysteresis + minimum slope, and best-positive-peak."""
+    avg = (np.asarray(left, np.float32) + np.asarray(right, np.float32)) \
+        * np.float32(0.5)
+    n = avg.size
+    if n <= 0 or mode == TRIGGER_NONE:
+        return write_ptr
+    max_search = min(window * 2, n)
+    i = write_ptr % n
+    prev = avg[i]
+    best_peak = 0.0
+    best_i = write_ptr
+    for _ in range(max_search):
+        i = (i - 1 + n) % n
+        cur = float(avg[i])
+        slope = cur - prev
+        if mode == TRIGGER_ZERO_RISING:
+            if prev <= _ZERO_EPS < cur:
+                return i
+        elif mode == TRIGGER_ZERO_RISING_HYST:
+            if prev < _HYST_LOW and cur > _HYST_HIGH \
+                    and abs(cur) > _MIN_LEVEL:
+                return i
+        elif mode == TRIGGER_ZERO_SLOPE:
+            if prev < _HYST_LOW and cur > _HYST_HIGH \
+                    and slope > _MIN_SLOPE and abs(cur) > _MIN_LEVEL:
+                return i
+        elif mode == TRIGGER_PEAK:
+            if cur > best_peak and cur > _MIN_LEVEL:
+                best_peak = cur
+                best_i = i
+        else:
+            return write_ptr
+        prev = cur
+    if mode == TRIGGER_PEAK and best_peak > 0.0:
+        return best_i
+    return write_ptr
+
+
+def scope_window(audio: np.ndarray, window: int,
+                 mode: int = TRIGGER_ZERO_RISING,
+                 write_ptr: Optional[int] = None) -> np.ndarray:
+    """Extract a trigger-aligned display window [window, 2] from a rendered
+    stereo stream — the offline analog of one scope frame."""
+    audio = np.asarray(audio)
+    n = len(audio)
+    wp = (n - 1) if write_ptr is None else write_ptr % n
+    start = find_start_triggered(audio[:, 0], audio[:, 1], wp, window, mode)
+    idx = (start + np.arange(window)) % n
+    return audio[idx]
+
+
 def scope_dump(audio: np.ndarray, path, width: int = 800) -> None:
     """Offline scope: write the downsampled min/avg/max envelope of a
     rendered stereo stream (the scope_buffer_t analog, scope-shared.h)

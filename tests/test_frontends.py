@@ -65,6 +65,48 @@ def test_observe_dumps(tmp_path):
     assert (z["left_min"] <= z["left_max"]).all()
 
 
+def test_scope_trigger_modes():
+    from skred_tpu.host import observe as O
+
+    t = np.arange(44100, dtype=np.float32) / 44100.0
+    sig = 0.5 * np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    audio = np.stack([sig, sig], axis=-1)
+    win = 512
+    # zero-rising: the sample at the trigger must be > 0, its predecessor <= 0
+    # the walk runs backward: "prev" is the later sample, so the trigger
+    # lands where sample i is > 0 and the following sample is <= 0
+    i = O.find_start_triggered(audio[:, 0], audio[:, 1], len(audio) - 1,
+                               win, O.TRIGGER_ZERO_RISING)
+    assert sig[i] > 0.0 and sig[i + 1] <= 0.0, i
+    # hysteresis/slope need an adjacent-sample swing through +-0.02 (the
+    # backward walk fires where a later sample < -0.02 follows an earlier
+    # sample > 0.02) — a square wave has such edges, a smooth sine doesn't
+    sq = np.where(sig >= 0, np.float32(0.4), np.float32(-0.4))
+    sq_audio = np.stack([sq, sq], axis=-1)
+    for mode in (O.TRIGGER_ZERO_RISING_HYST, O.TRIGGER_ZERO_SLOPE):
+        i = O.find_start_triggered(sq_audio[:, 0], sq_audio[:, 1],
+                                   len(sq) - 1, win, mode)
+        assert sq[i] > 0.02 and sq[i + 1] < -0.02, (mode, i)
+    # a smooth sine cannot satisfy the hysteresis jump: falls back
+    assert O.find_start_triggered(audio[:, 0], audio[:, 1], len(audio) - 1,
+                                  win, O.TRIGGER_ZERO_RISING_HYST) \
+        == len(audio) - 1
+    # peak: lands near a positive crest
+    i = O.find_start_triggered(audio[:, 0], audio[:, 1], len(audio) - 1,
+                               win, O.TRIGGER_PEAK)
+    assert sig[i] > 0.45
+    # none: no search
+    assert O.find_start_triggered(audio[:, 0], audio[:, 1], 100, win,
+                                  O.TRIGGER_NONE) == 100
+    # a full aligned frame
+    w = O.scope_window(audio, win, O.TRIGGER_ZERO_RISING)
+    assert w.shape == (win, 2) and w[0, 0] > 0.0
+    # two frames of a periodic signal trigger at the same waveform phase
+    w2 = O.scope_window(audio, win, O.TRIGGER_ZERO_RISING,
+                        write_ptr=len(audio) - 3000)
+    assert abs(float(w[0, 0]) - float(w2[0, 0])) < 0.02
+
+
 def test_controllers():
     from skred_tpu.frontends.controllers import (PadGrid, Slider, adsr_text,
                                                  amper, note_cycle,
