@@ -72,7 +72,7 @@ def cmd_batch(args) -> int:
     scripts = [pathlib.Path(s) for s in args.scripts]
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    render_batch(scripts, args.seconds, outdir)
+    render_batch(scripts, args.seconds, outdir, engine=args.engine)
     return 0
 
 
@@ -135,6 +135,9 @@ def main(argv=None) -> int:
     b.add_argument("scripts", nargs="+")
     b.add_argument("--seconds", type=float, default=10.0)
     b.add_argument("--outdir", default="renders")
+    b.add_argument("--engine", choices=("auto", "compat"), default="auto",
+                   help="auto = specialized fused engine per feature "
+                        "bucket (compat fallback); compat = bit-exact")
     b.set_defaults(fn=cmd_batch)
 
     m = sub.add_parser("render-midi",

@@ -251,25 +251,31 @@ def _read_block(est, prev_last, osc, delayed):
 
 
 def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
-                      exact=False, use_pallas=False, feat=Feat(), N=None):
-    """One block-level fixed-point pass: compute every voice's full block.
+                      exact=False, use_pallas=False, feat=Feat(), N=None,
+                      full=None, rk=""):
+    """One block-level pass: compute a set of voices' full blocks.
 
-    est: [B, V, N] modulator sample estimates (may be None when no
-    modulation feature is on); carry: state dict.  ``feat`` statically
-    prunes stages absent from the whole batch.
+    est: [B, V_src, N] modulator sample estimates (may be None when no
+    modulation feature is on); carry/p: state/params for the voices being
+    computed (a tier's lane slice under tiered evaluation).  ``full``
+    carries source-indexed arrays spanning ALL lanes ({"sample",
+    "phase_inc"}) when est is wider than this pass's slice; ``rk`` is the
+    roster-key suffix selecting this slice's table-lookup rosters.
+    ``feat`` statically prunes stages absent from the whole batch.
     Returns (samples [B,V,N], left, right, new_carry)."""
     if est is not None:
         N = est.shape[-1]
     B, V_ = p["amp"].shape
     active0 = p["amp"] != 0.0                       # [B, V]
+    prev_last = full["sample"] if full is not None else carry["sample"]
 
     # ---- FM increments ----
     if feat.fm:
         fm = p["freq_mod_osc"]
-        fm_read = _read_block(est, carry["sample"], fm, p["fm_delayed"])
+        fm_read = _read_block(est, prev_last, fm, p["fm_delayed"])
         g = fm_read * p["freq_mod_depth"][..., None]
-        mod_inc = jnp.take_along_axis(p["phase_inc"], jnp.maximum(fm, 0),
-                                      axis=1)
+        src_inc = full["phase_inc"] if full is not None else p["phase_inc"]
+        mod_inc = jnp.take_along_axis(src_inc, jnp.maximum(fm, 0), axis=1)
         use_fm = (fm >= 0) & (p["fm_self"] == 0)
         inc = jnp.where(use_fm[..., None],
                         _fma((mod_inc * p["freq_scale"])[..., None], g,
@@ -334,8 +340,11 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             bad = ~jnp.isfinite(ph)
             over = ph >= hi
             under = ph < lo
-            wrap_over = lo + jnp.fmod(ph - lo, L)
-            wrap_under = hi - jnp.fmod(lo - ph, L)
+            # single fmod for both wrap directions (see kernels._make_
+            # phase_kernel): fmodf(lo-ph, L) == -fmodf(ph-lo, L) exactly
+            r = jnp.fmod(ph - lo, L)
+            wrap_over = lo + r
+            wrap_under = hi + r
             ph2 = jnp.where(over,
                             jnp.where(os_noloop, hi - F32(1e-6), wrap_over),
                             jnp.where(under,
@@ -362,7 +371,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     # ---- table lookup (+ CZ) ----
     if feat.cz:
         cm = p["cz_mod_osc"]
-        cz_read = _read_block(est, carry["sample"], cm, p["cm_delayed"])
+        cz_read = _read_block(est, prev_last, cm, p["cm_delayed"])
         dm = jnp.where((cm >= 0)[..., None],
                        cz_read * p["cz_mod_depth"][..., None], F32(1.0))
         cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
@@ -404,8 +413,8 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         slot = (p["table_off"] // 4096).astype(I32).reshape(B_ * V_)
         f_osc = KK.table_lookup_pallas(
             tb3, slot, idx.reshape(B_ * V_, N)).reshape(B_, V_, N)
-        if "med_map" in p and table_buffer.shape[0] % 32768 == 0:
-            sel, idx_m, off_m = roster_select("med_map")
+        if ("med_map" + rk) in p and table_buffer.shape[0] % 32768 == 0:
+            sel, idx_m, off_m = roster_select("med_map" + rk)
             gm = idx_m.shape[1]
             f_m = KK.table_lookup_pallas(
                 table_buffer.reshape(-1, 256, 128),
@@ -414,8 +423,8 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                 slot_size=32768).reshape(B_, gm, N)
             f_osc = jnp.where(p["med_voice"][..., None] != 0,
                               roster_scatter(sel, f_m), f_osc)
-        if "big_map" in p:
-            sel, idx_g, off_g = roster_select("big_map")
+        if ("big_map" + rk) in p:
+            sel, idx_g, off_g = roster_select("big_map" + rk)
             f_big = table_buffer[off_g[..., None] + idx_g]
             big_v = (p["small_voice"] == 0) & (p.get("med_voice", 0) == 0)
             f_osc = jnp.where(big_v[..., None], roster_scatter(sel, f_big),
@@ -474,7 +483,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             F32(1.0))
     if feat.am:
         am = p["amp_mod_osc"]
-        am_read = _read_block(est, carry["sample"], am, p["am_delayed"])
+        am_read = _read_block(est, prev_last, am, p["am_delayed"])
         ampmod_x = jnp.where((am >= 0)[..., None],
                              am_read * p["amp_mod_depth"][..., None],
                              F32(1.0))
@@ -610,7 +619,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     # ---- pan ----
     if feat.pm:
         pm = p["pan_mod_osc"]
-        pm_read = _read_block(est, carry["sample"], pm, p["pm_delayed"])
+        pm_read = _read_block(est, prev_last, pm, p["pm_delayed"])
         if feat.pm_self:
             pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples,
                                 pm_read)
@@ -685,37 +694,43 @@ def make_carry0(B, Vp):
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "capture", "exact",
-                                             "use_pallas", "n_src", "feat"))
+                                             "use_pallas", "n_src", "feat",
+                                             "tiers"))
 def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                num_blocks, block, mod_passes, capture, exact=False,
-               use_pallas=False, n_src=0, feat=Feat()):
+               use_pallas=False, n_src=0, feat=Feat(), tiers=None):
     B, _, Vp = params["amp"].shape
     carry0 = make_carry0(B, Vp)
     _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
                           table_buffer, noise, 0, num_blocks, block,
-                          mod_passes, capture, exact, use_pallas, n_src, feat)
+                          mod_passes, capture, exact, use_pallas, n_src, feat,
+                          tiers)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "exact",
-                                             "use_pallas", "n_src", "feat"))
+                                             "use_pallas", "n_src", "feat",
+                                             "tiers"))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
                      mod_passes, exact=False, use_pallas=False, n_src=0,
-                     feat=Feat()):
+                     feat=Feat(), tiers=None):
     """One streaming chunk: render `num_blocks` blocks starting at global
     block index `block0` (traced), carrying state in/out."""
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
-                       mod_passes, False, exact, use_pallas, n_src, feat)
+                       mod_passes, False, exact, use_pallas, n_src, feat,
+                       tiers)
 
 
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
-                use_pallas, n_src=0, feat=Feat()):
+                use_pallas, n_src=0, feat=Feat(), tiers=None):
     B, _, Vp = params["amp"].shape
     any_mod = feat.fm or feat.cz or feat.am or feat.pm
+    _CK = ("phase", "finished", "sample", "hold_count", "hold_val",
+           "x1", "x2", "y1", "y2", "smoother", "pan_l", "pan_r")
 
     def block_step(carry, k):
         seg = seg_of_block[:, k]                    # [B]
@@ -729,32 +744,68 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
 
         est = jnp.broadcast_to(carry["sample"][..., None],
                                (B, Vp, block)).astype(F32) if any_mod else None
-        # early fixed-point passes only need modulator-source blocks — run
-        # them on the packed source prefix (the table gather is the TPU
-        # throughput ceiling; sources are few)
-        if n_src and n_src < Vp and mod_passes > 1:
-            # the rosters hold packed voice indices, not per-voice data —
-            # their entries >= n_src one-hot to zero rows in the prefix pass
-            p_src = {kk: (vv[:, :n_src]
-                          if kk not in ("big_map", "med_map")
-                          and vv.ndim == 2 and vv.shape[1] == Vp
-                          else vv) for kk, vv in p.items()}
-            c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)
-                     for kk, vv in carry.items()}
-            for _ in range(mod_passes - 1):
-                s_src, _, _, _ = _voice_block_pass(
-                    est[:, :n_src], c_src, p_src, nblk, counts, table_buffer,
-                    exact, use_pallas, feat, N=block)
-                est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
+        if tiers is not None and len(tiers) > 1:
+            # tiered evaluation: lanes are packed by modulation-DAG depth
+            # (parallel/batch.py pack_stacked), tier k reads only earlier
+            # tiers — every voice renders exactly once per block, in place
+            # of repeated full fixed-point passes.  Numerics identical:
+            # each voice still computes from fully-converged modulators.
+            full = {"sample": carry["sample"], "phase_inc": p["phase_inc"]}
+            bounds = [0]
+            for t in tiers:
+                bounds.append(bounds[-1] + t)
+            s_parts, l_parts, r_parts = [], [], []
+            nc_parts = []
+            for ti, (ts_, te) in enumerate(zip(bounds[:-1], bounds[1:])):
+                p_t = {kk: (vv[:, ts_:te]
+                            if not kk.startswith(("med_map", "big_map"))
+                            and vv.ndim == 2 and vv.shape[1] == Vp
+                            else vv) for kk, vv in p.items()}
+                c_t = {kk: (vv[:, ts_:te] if vv.ndim == 2 else vv)
+                       for kk, vv in carry.items()}
+                samples_t, left_t, right_t, nc_t = _voice_block_pass(
+                    est, c_t, p_t, nblk, counts, table_buffer,
+                    exact, use_pallas, feat, N=block, full=full,
+                    rk=f"_t{ti}")
+                if ti + 1 < len(tiers):
+                    est = jax.lax.dynamic_update_slice_in_dim(
+                        est, samples_t, ts_, axis=1)
+                s_parts.append(samples_t)
+                l_parts.append(left_t)
+                r_parts.append(right_t)
+                nc_parts.append(nc_t)
+            samples = jnp.concatenate(s_parts, axis=1)
+            left = jnp.concatenate(l_parts, axis=1)
+            right = jnp.concatenate(r_parts, axis=1)
+            new_carry = {kk: jnp.concatenate([nc[kk] for nc in nc_parts],
+                                             axis=1) for kk in _CK}
         else:
-            for _ in range(mod_passes - 1):
-                samples, _, _, _ = _voice_block_pass(
-                    est, carry, p, nblk, counts, table_buffer, exact,
-                    use_pallas, feat, N=block)
-                est = samples
-        samples, left, right, new_carry = _voice_block_pass(
-            est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
-            feat, N=block)
+            # fallback (cyclic union graph): repeated fixed-point passes —
+            # early passes only need modulator-source blocks, run on the
+            # packed source prefix
+            if n_src and n_src < Vp and mod_passes > 1:
+                # the rosters hold packed voice indices, not per-voice
+                # data — entries >= n_src one-hot to zero in the prefix
+                p_src = {kk: (vv[:, :n_src]
+                              if not kk.startswith(("med_map", "big_map"))
+                              and vv.ndim == 2 and vv.shape[1] == Vp
+                              else vv) for kk, vv in p.items()}
+                c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)
+                         for kk, vv in carry.items()}
+                for _ in range(mod_passes - 1):
+                    s_src, _, _, _ = _voice_block_pass(
+                        est[:, :n_src], c_src, p_src, nblk, counts,
+                        table_buffer, exact, use_pallas, feat, N=block)
+                    est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
+            else:
+                for _ in range(mod_passes - 1):
+                    samples, _, _, _ = _voice_block_pass(
+                        est, carry, p, nblk, counts, table_buffer, exact,
+                        use_pallas, feat, N=block)
+                    est = samples
+            samples, left, right, new_carry = _voice_block_pass(
+                est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
+                feat, N=block)
 
         # ---- mix + volume smoother ----
         mix_l = left.sum(axis=1)                    # [B, N]
@@ -771,6 +822,24 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
 
     carry, outs = jax.lax.scan(block_step, carry0, jnp.arange(num_blocks))
     return carry, outs
+
+
+def _pad_quantum(st, Vp):
+    """Batch-padding quantum: every pallas lane group (each tier slice, or
+    the n_src prefix / full width in the fallback layout) must flatten to
+    a multiple of LANES lanes."""
+    from math import gcd
+
+    from skred_tpu.engine.kernels import LANES
+
+    if st.tiers:
+        q = 1
+        for t in st.tiers:
+            r = LANES // gcd(LANES, int(t))
+            q = q * r // gcd(q, r)
+        return q
+    vmin = min(Vp, st.n_src) if st.n_src else Vp
+    return LANES // vmin if LANES % vmin == 0 else LANES
 
 
 def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
@@ -808,7 +877,8 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
             table, jnp.asarray(n), jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
-            exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat)
+            exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
+            tiers=st.tiers)
         yield np.asarray(outs).swapaxes(0, 1).reshape(B, nb * st.block, 2)
 
 
@@ -833,10 +903,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     if exact is None:
         exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     if use_pallas:
-        from skred_tpu.engine.kernels import LANES
-
-        vmin = min(Vp, st.n_src) if st.n_src else Vp
-        per = LANES // vmin if LANES % vmin == 0 else LANES
+        per = _pad_quantum(st, Vp)
         pad_b = (-st.batch) % max(per, 1)
         if pad_b:
             rep = lambda a: np.concatenate(
@@ -866,7 +933,8 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
             jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
             table, n, jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
-            exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat)
+            exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
+            tiers=st.tiers)
         if warmup_only:
             break
     if outs is None:
@@ -896,10 +964,7 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
     if exact is None:
         exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     if use_pallas:
-        from skred_tpu.engine.kernels import LANES
-
-        vmin = min(Vp, st.n_src) if st.n_src else Vp
-        per = LANES // vmin if LANES % vmin == 0 else LANES
+        per = _pad_quantum(st, Vp)
         pad_b = (-st.batch) % max(per, 1)
         if pad_b:
             rep = lambda a: np.concatenate(
@@ -918,7 +983,7 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                       num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=False, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
-                      feat=compute_feat(st))
+                      feat=compute_feat(st), tiers=st.tiers)
 
 
 def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
@@ -945,10 +1010,7 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
     pad_b = 0
     if use_pallas:
         # pallas lanes: batch·Vp must be a multiple of kernels.LANES
-        from skred_tpu.engine.kernels import LANES
-
-        vmin = min(Vp, st.n_src) if st.n_src else Vp
-        per = LANES // vmin if LANES % vmin == 0 else LANES
+        per = _pad_quantum(st, Vp)
         pad_b = (-batch) % max(per, 1)
         if pad_b:
             rep = lambda a: np.concatenate(
@@ -980,7 +1042,7 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
                       put_r(noise), num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=capture, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
-                      feat=compute_feat(st))
+                      feat=compute_feat(st), tiers=st.tiers)
     if capture:
         out, cap = outs
         return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],

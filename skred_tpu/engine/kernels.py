@@ -106,8 +106,14 @@ def _make_phase_kernel(fm: bool, finish: bool):
             bad = ~jnp.isfinite(ph)
             over = ph >= hi
             under = ph < lo
-            wrap_over = lo + jnp.fmod(ph - lo, L)
-            wrap_under = hi - jnp.fmod(lo - ph, L)
+            # one fmod serves both wrap directions, bit-identically:
+            # r = fmodf(ph-lo, L) carries the sign of ph-lo, and
+            # fmodf(lo-ph, L) == -r exactly (sign symmetry), so the
+            # reference's hi - fmodf(lo-ph, L) == hi + r (IEEE sub of a
+            # negation) — halving the per-sample divide chain
+            r = jnp.fmod(ph - lo, L)
+            wrap_over = lo + r
+            wrap_under = hi + r
             if finish:
                 ph2 = jnp.where(
                     over, jnp.where(osn, hi - F32(1e-6), wrap_over),

@@ -41,6 +41,11 @@ class StackedTimelines:
     fused_passes: Optional[int]
     batch: int
     n_src: int = 0               # packed modulator-source prefix (fused)
+    # tiered evaluation: voices packed by modulation-DAG depth; tier k's
+    # lanes are [sum(tiers[:k]), sum(tiers[:k+1])) and read only earlier
+    # tiers — each voice renders exactly once per block (engine/fused.py).
+    # None → depth layout unavailable (cyclic union graph): repeat-passes.
+    tiers: Optional[tuple] = None
 
 
 def stack_timelines(tls: Sequence[Timeline]) -> StackedTimelines:
@@ -169,10 +174,16 @@ def render_stacked(st: StackedTimelines, mesh: Optional[jax.sharding.Mesh] = Non
 
 def render_batch(scripts: List[pathlib.Path], seconds: float,
                  outdir: Optional[pathlib.Path] = None,
-                 mesh: Optional[jax.sharding.Mesh] = None) -> np.ndarray:
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 engine: str = "auto") -> np.ndarray:
     """Batch-render scripts with per-script error isolation: a script that
     fails to compile is skipped (reported) without killing the batch —
-    the analog of the reference's parse-and-survive stance."""
+    the analog of the reference's parse-and-survive stance.
+
+    engine: "auto" groups scripts by (voices, passes, feature set) and
+    renders each group with the specialized fused engine (cyclic
+    modulation graphs fall back to the compat scan engine); "compat"
+    renders everything with the bit-exact scan engine."""
     bank = WaveBank()
     tls, ok_scripts = [], []
     for p in scripts:
@@ -184,8 +195,39 @@ def render_batch(scripts: List[pathlib.Path], seconds: float,
             print(f"# skipping {p}: {type(ex).__name__}: {ex}")
     if not tls:
         return np.zeros((0, 0, 2), np.float32)
-    st = stack_timelines(tls)
-    out = render_stacked(st, mesh=mesh)
+
+    if engine == "compat":
+        st = stack_timelines(tls)
+        out = render_stacked(st, mesh=mesh)
+    else:
+        from skred_tpu.engine.fused import compute_feat, render_fused
+
+        buckets = {}
+        compat_idx = []
+        for i, tl in enumerate(tls):
+            if tl.fused_passes is None:
+                compat_idx.append(i)
+                continue
+            st1 = pack_stacked(stack_timelines([tl]))
+            key = (st1.params["amp"].shape[-1], tl.fused_passes,
+                   compute_feat(st1))
+            buckets.setdefault(key, []).append(i)
+        out = None
+        for key, idxs in sorted(buckets.items()):
+            st = stack_timelines([tls[i] for i in idxs])
+            o = render_fused(st, mesh=mesh)
+            if out is None:
+                out = np.zeros((len(tls), o.shape[1], 2), np.float32)
+            for j, i in enumerate(idxs):
+                out[i] = o[j]
+        if compat_idx:
+            st = stack_timelines([tls[i] for i in compat_idx])
+            o = render_stacked(st, mesh=mesh)
+            if out is None:
+                out = np.zeros((len(tls), o.shape[1], 2), np.float32)
+            for j, i in enumerate(compat_idx):
+                out[i] = o[j]
+
     if outdir is not None:
         for p, audio in zip(ok_scripts, out):
             write_wav_16(outdir / (p.stem + ".wav"), audio)
@@ -193,6 +235,50 @@ def render_batch(scripts: List[pathlib.Path], seconds: float,
 
 
 _MOD_TYPES = ("freq_mod_osc", "amp_mod_osc", "pan_mod_osc", "cz_mod_osc")
+_EDGE_FIELDS = ("freq_mod_osc", "amp_mod_osc", "pan_mod_osc", "cz_mod_osc",
+                "freq_mod_depth", "amp_mod_depth", "pan_mod_depth",
+                "cz_mod_depth", "cz_mode", "disconnect")
+
+
+def _union_depths(params_b: dict, rel: np.ndarray):
+    """Per-voice depth in the union (over segments) of the value-carrying
+    modulation graphs: depth(v) = 0 if v reads nothing, else
+    1 + max(depth of its modulators).  Returns {voice: depth} or None if
+    the union graph is cyclic (per-segment graphs may still be acyclic —
+    the caller falls back to the repeat-passes layout)."""
+    from skred_tpu.host.timeline import _edges_from_arrays
+
+    rel_set = set(int(v) for v in rel)
+    nseg = params_b["amp"].shape[0]
+    edges = {v: set() for v in rel_set}
+    for s in range(nseg):
+        seg = {name: params_b[name][s] for name in _EDGE_FIELDS}
+        for v in rel_set:
+            for m in _edges_from_arrays(seg, v):
+                if m != v:
+                    edges[v].add(m)
+    depth = {}
+    visiting = set()
+
+    def dfs(v):
+        if v in depth:
+            return depth[v]
+        if v in visiting:
+            raise ValueError("cycle")
+        visiting.add(v)
+        d = 0
+        for m in edges[v]:
+            d = max(d, dfs(m) + 1)
+        visiting.discard(v)
+        depth[v] = d
+        return d
+
+    try:
+        for v in rel_set:
+            dfs(v)
+    except ValueError:
+        return None
+    return depth
 
 
 def _relevant_voices(params: dict) -> np.ndarray:
@@ -220,6 +306,12 @@ def _relevant_voices(params: dict) -> np.ndarray:
 def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
     """Pack each script's relevant voices densely (fused-engine layout).
 
+    Voices are laid out by modulation-DAG depth ("tiers"): tier k's lanes
+    read only tiers < k, so the fused engine renders each voice exactly
+    once per block — tier by tier — instead of repeating full fixed-point
+    passes.  A ``-1`` perm entry is a filler lane (tier padding across
+    the batch): inactive, contributes nothing.
+
     The serial in-frame modulation order (synth.c:526: current-sample read
     iff modulator index < reader index) is preserved through explicit
     per-edge ``*_delayed`` / ``*_self`` flags computed from the ORIGINAL
@@ -241,31 +333,69 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
                         src.add(m)
         return src
 
+    tiers = None
     if pack:
-        perms = []
-        n_srcs = []
+        # memoize per unique script row (replicated batches are common)
+        cache: dict = {}
+        infos = []
         for b in range(B):
-            pb = {k: v[b] for k, v in st.params.items()}
-            rel = _relevant_voices(pb)
-            src = _sources(pb, rel.tolist()) & set(rel.tolist())
-            # modulator sources first: early fixed-point passes only need
-            # their blocks, so the per-sample table gather (the TPU
-            # ceiling) runs on this prefix for passes 1..K-1
-            ordered = sorted(src) + sorted(set(rel.tolist()) - src)
-            perms.append(np.array(ordered, dtype=np.int32))
-            n_srcs.append(len(src))
-        vmax = max((len(p) for p in perms), default=1)
-        vp = 1
-        while vp < vmax:
-            vp *= 2
-        vp = min(vp, V)
-        smax = max(n_srcs, default=0)
-        n_src = 0
-        if smax:
-            n_src = 1
-            while n_src < smax:
-                n_src *= 2
-        n_src = min(n_src, vp)
+            key = b"".join(np.ascontiguousarray(st.params[k][b]).tobytes()
+                           for k in _EDGE_FIELDS + ("amp",))
+            if key not in cache:
+                pb = {k: v[b] for k, v in st.params.items()}
+                rel = _relevant_voices(pb)
+                depths = _union_depths(pb, rel)
+                src = _sources(pb, rel.tolist()) & set(rel.tolist())
+                cache[key] = (rel, depths, src)
+            infos.append(cache[key])
+
+        tiers_ok = all(d is not None for _, d, _ in infos)
+        if tiers_ok:
+            n_tiers = max((max(d.values()) + 1 if d else 1)
+                          for _, d, _ in infos)
+            tsizes = [0] * n_tiers
+            for _, d, _ in infos:
+                cnt = [0] * n_tiers
+                for v, k in d.items():
+                    cnt[k] += 1
+                tsizes = [max(a, c) for a, c in zip(tsizes, cnt)]
+            if not any(tsizes):
+                tsizes = [1]
+            perms = []
+            pcache: dict = {}
+            for _, d, _ in infos:
+                pkey = id(d)
+                if pkey not in pcache:
+                    perm = []
+                    for k in range(len(tsizes)):
+                        vs = sorted(v for v, kk in d.items() if kk == k)
+                        perm += vs + [-1] * (tsizes[k] - len(vs))
+                    pcache[pkey] = np.array(perm, dtype=np.int32)
+                perms.append(pcache[pkey])
+            vp = sum(tsizes)
+            tiers = tuple(tsizes)
+            n_src = vp - tsizes[-1]
+        else:
+            perms = []
+            n_srcs = []
+            for rel, _, src in infos:
+                # modulator sources first: early fixed-point passes only
+                # need their blocks
+                ordered = sorted(src) + sorted(set(rel.tolist()) - src)
+                perms.append(np.array(ordered, dtype=np.int32))
+                n_srcs.append(len(src))
+            vmax = max((len(p) for p in perms), default=1)
+            vp = 1
+            while vp < vmax:
+                vp *= 2
+            vp = min(vp, V)
+            smax = max(n_srcs, default=0)
+            n_src = 0
+            if smax:
+                n_src = 1
+                while n_src < smax:
+                    n_src *= 2
+            n_src = min(n_src, vp)
     else:
         perms = [np.arange(V, dtype=np.int32) for _ in range(B)]
         vp = V
@@ -273,7 +403,8 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
 
     def pack_arr(a, perm, fill=0):
         out = np.full(a.shape[:-1] + (vp,), fill, dtype=a.dtype)
-        out[..., : len(perm)] = a[..., perm]
+        live = perm >= 0
+        out[..., : len(perm)][..., live] = a[..., perm[live]]
         return out
 
     new_params = {k: [] for k in st.params}
@@ -283,14 +414,15 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
     new_ops = {k: [] for k in st.ops}
     for b in range(B):
         perm = perms[b]
+        live = perm >= 0
         inv = np.full(V, -1, dtype=np.int32)
-        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        inv[perm[live]] = np.arange(len(perm), dtype=np.int32)[live]
         for k, arr in st.params.items():
             a = arr[b]
             if a.ndim == 1:          # scalar per segment (volume_final)
                 new_params[k].append(a)
                 continue
-            p = pack_arr(a, perm)
+            p = pack_arr(a, perm, fill=-1 if k in _MOD_TYPES else 0)
             if k in _MOD_TYPES:
                 old = p                       # original target indices
                 remapped = np.where(old >= 0, inv[np.maximum(old, 0)], -1)
@@ -298,9 +430,11 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
                 orig_n = np.broadcast_to(perm[None, :len(perm)],
                                          (a.shape[0], len(perm)))
                 flag = np.zeros(old.shape, dtype=np.int32)
-                flag[..., :len(perm)] = (old[..., :len(perm)] >= orig_n)
+                flag[..., :len(perm)] = ((old[..., :len(perm)] >= orig_n)
+                                         & live[None, :])
                 selff = np.zeros(old.shape, dtype=np.int32)
-                selff[..., :len(perm)] = (old[..., :len(perm)] == orig_n)
+                selff[..., :len(perm)] = ((old[..., :len(perm)] == orig_n)
+                                          & live[None, :])
                 key = {"freq_mod_osc": "fm", "amp_mod_osc": "am",
                        "pan_mod_osc": "pm", "cz_mod_osc": "cm"}[k]
                 new_params[key + "_delayed"].append(flag)
@@ -333,20 +467,32 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
         med.astype(np.int32)[:, None, :], ts.shape).copy()
     vp_ = ts.shape[2]
 
-    def roster(mask, name):
+    def roster(mask, name, width):
+        """Dense compaction of ``mask`` columns: entries are voice indices
+        local to the slice, ``width`` is the no-op sentinel."""
         gmax = int(mask.sum(axis=1).max()) if mask.size else 0
         if not gmax:
             return
-        bm = np.full((B, gmax), vp_, np.int32)         # sentinel vp → no-op
+        bm = np.full((B, gmax), width, np.int32)
         for b in range(B):
             w = np.where(mask[b])[0]
             bm[b, : len(w)] = w
         params[name] = np.broadcast_to(
             bm[:, None, :], (B, ts.shape[1], gmax)).copy()
 
-    roster(med, "med_map")
-    roster(big, "big_map")
-    return dataclasses.replace(st, params=params, ops=ops, n_src=n_src)
+    if tiers is not None:
+        # per-tier rosters with tier-local indices (the tiered engine
+        # renders each tier's lane slice in its own pass)
+        bounds = np.cumsum((0,) + tiers)
+        for k in range(len(tiers)):
+            s, e = int(bounds[k]), int(bounds[k + 1])
+            roster(med[:, s:e], f"med_map_t{k}", e - s)
+            roster(big[:, s:e], f"big_map_t{k}", e - s)
+    else:
+        roster(med, "med_map", vp_)
+        roster(big, "big_map", vp_)
+    return dataclasses.replace(st, params=params, ops=ops, n_src=n_src,
+                               tiers=tiers)
 
 
 def make_mesh(n_devices: Optional[int] = None) -> jax.sharding.Mesh:
