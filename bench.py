@@ -25,27 +25,6 @@ SECONDS = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 
-def pad_segments_pow2(st):
-    """Pad the segment axis to a power of two (repeating the last segment)
-    so compiled shapes are duration-independent (cache-friendly)."""
-    import dataclasses
-
-    s = st.params["amp"].shape[1]
-    sp = 1
-    while sp < s:
-        sp *= 2
-    if sp == s:
-        return st
-    def pad(a):
-        a = np.asarray(a)
-        reps = np.repeat(a[:, -1:], sp - s, axis=1)
-        return np.concatenate([a, reps], axis=1)
-    return dataclasses.replace(
-        st,
-        params={k: pad(v) for k, v in st.params.items()},
-        ops={k: pad(v) for k, v in st.ops.items()},
-    )
-
 
 def main() -> None:
     import jax
@@ -67,7 +46,8 @@ def main() -> None:
         render_fused_stream_device)
     from skred_tpu.engine.render import _render_jit  # noqa: F401 (compat import)
     from skred_tpu.host.timeline import compile_script, noise_stream
-    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+    from skred_tpu.parallel.batch import (pack_stacked, pad_segments_pow2,
+        stack_timelines)
 
     scripts = sorted(REF.glob("*.sk")) if REF.exists() else []
     if not scripts:

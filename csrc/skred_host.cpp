@@ -129,6 +129,8 @@ struct Engine {
   float tempo_time_per_step = 60.0f, tempo_bpm = 30.0f, tempo_base = 0.0f;
   int rec_state = 0;
   int64_t rec_ptr = 0;
+  bool unsupported = false;   // recorder / dynamic wave expansion used:
+                              // the Python compiler is the full path
 
   // sequencer
   std::string seq_pattern[PATTERNS_MAX][SEQ_STEPS_MAX];
@@ -826,9 +828,13 @@ static int wire_function(Skode &s) {
     e.wave_load(which, where, ch);
   }
   else if (atom == ATOM("<")) {
-    e.rec_state = 1; e.rec_ptr = 0; e.dirty = true;
+    // recorder capture windows are compiled only by the Python oracle
+    // (host/wire.py "<___": cap/window bookkeeping feeds io/recorder);
+    // refuse so callers fall back instead of silently diverging
+    e.unsupported = true;
   }
-  else if (atom == ATOM("*")) { e.rec_state = 0; e.dirty = true; }
+  else if (atom == ATOM("*")) { e.unsupported = true; }
+  else if (atom == ATOM("/wex")) { e.unsupported = true; }
   else if (atom == ATOM(">")) { e.voice_copy(voice, x); }
   else if (atom == ATOM("/")) { e.wave_default(voice); }
   else if (atom == ATOM("%")) { e.seq_modulo[w->pattern] = x; }
@@ -1041,6 +1047,7 @@ int skc_compile(const char **lines, int nlines, const char *script_dir,
 
   Wire top(&c.e);
   for (int i = 0; i < nlines; i++) top.run(lines[i]);
+  if (c.e.unsupported) return 2;   // caller falls back to the Python path
 
   int64_t total = (int64_t)(seconds * SAMPLE_RATE);
   int nb = (int)((total + block - 1) / block);
@@ -1067,6 +1074,8 @@ int skc_compile(const char **lines, int nlines, const char *script_dir,
     }
   }
   if (nb) c.seg_is_start[0] = 1;
+  // sequencer cells / deferred strings may also hit recorder atoms
+  if (c.e.unsupported) return 2;
 
   int S = (int)c.seg_f32.size();
   out->num_segments = S;

@@ -844,11 +844,14 @@ def _pad_quantum(st, Vp):
 
 def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
                         exact: Optional[bool] = None,
-                        use_pallas: Optional[bool] = None):
+                        use_pallas: Optional[bool] = None,
+                        keep_rows: Optional[int] = None):
     """Generator yielding rendered chunks [B, chunk_blocks*block, 2] —
     O(chunk) device memory regardless of render length (the offline
     analog of the reference's bounded callback ring; state carries in a
-    pytree exactly as across callbacks)."""
+    pytree exactly as across callbacks).  ``keep_rows`` downloads only
+    the first rows of each chunk (device-side slice — replicated/padded
+    batches skip the transfer of redundant rows)."""
     from skred_tpu.parallel.batch import _prep_params, pack_stacked
 
     if st.fused_passes is None:
@@ -879,7 +882,9 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
             tiers=st.tiers)
-        yield np.asarray(outs).swapaxes(0, 1).reshape(B, nb * st.block, 2)
+        r = B if keep_rows is None else min(keep_rows, B)
+        yield np.asarray(outs[:, :r]).swapaxes(0, 1) \
+            .reshape(r, nb * st.block, 2)
 
 
 def render_fused_stream_device(st, chunk_blocks: int = 173,

@@ -5,8 +5,10 @@ dispatch, engine model, sequencer/defer simulation — and returns segment
 parameter tensors identical to the Python compiler's (asserted across the
 corpus by tests/test_native.py).  Use it for large batch compiles where
 Python's per-block simulation cost dominates; the Python implementation
-remains the semantic oracle and the full-featured path (recorder capture
-windows and /wex are host-Python-only for now).
+remains the semantic oracle and the full-featured path.  Scripts using
+recorder capture (``<``/``*``) or dynamic wave expansion (``/wex``) are
+REFUSED with NotImplementedError (never silently mis-compiled) — compile
+those with host.timeline.compile_script.
 """
 
 from __future__ import annotations
@@ -139,6 +141,10 @@ def compile_script_native(
                          ctypes.c_double(seconds), block,
                          metas, C.WAVE_TABLE_MAX, ev_t, ev_s, len(ev),
                          ctypes.byref(out))
+    if rc == 2:
+        raise NotImplementedError(
+            "script uses recorder capture (< / *) or /wex — compile with "
+            "the Python path (host.timeline.compile_script)")
     if rc != 0:
         raise RuntimeError(f"skc_compile failed: {rc}")
 

@@ -495,6 +495,28 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
                                tiers=tiers)
 
 
+def pad_segments_pow2(st: StackedTimelines) -> StackedTimelines:
+    """Pad the segment axis to a power of two (repeating the final
+    segment) so compiled shapes are duration-independent — repeated
+    benches and production batches of similar scripts reuse the
+    persistent compile cache."""
+    s = st.params["amp"].shape[1]
+    sp = 1
+    while sp < s:
+        sp *= 2
+    if sp == s:
+        return st
+
+    def pad(a):
+        a = np.asarray(a)
+        reps = np.repeat(a[:, -1:], sp - s, axis=1)
+        return np.concatenate([a, reps], axis=1)
+
+    return dataclasses.replace(
+        st, params={k: pad(v) for k, v in st.params.items()},
+        ops={k: pad(v) for k, v in st.ops.items()})
+
+
 def make_mesh(n_devices: Optional[int] = None) -> jax.sharding.Mesh:
     devs = jax.devices()
     if n_devices is not None:

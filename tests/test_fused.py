@@ -126,3 +126,44 @@ def test_pallas_lut_with_big_tables(reference_dir, session_bank):
     # the phase/filter kernels' op scheduling (same with the LUT disabled)
     err = float(np.abs(a - b).max())
     assert err <= 1e-5, f"LUT+roster diverged from flat gather: {err}"
+
+
+def test_tier_packing_layout(reference_dir, session_bank):
+    """Tier layout invariants: lanes sorted by modulation-DAG depth, every
+    tier reads only earlier tiers, fillers are inert."""
+    from skred_tpu.parallel.batch import pack_stacked
+
+    tls = [compile_script((reference_dir / n).read_text().splitlines(), 0.2,
+                          bank=session_bank.fork(), script_dir=reference_dir)
+           for n in ("909.sk", "18.sk", "0.sk")]
+    st = pack_stacked(stack_timelines(tls))
+    assert st.tiers is not None and len(st.tiers) >= 2
+    vp = st.params["amp"].shape[-1]
+    assert sum(st.tiers) == vp
+    bounds = np.cumsum((0,) + st.tiers)
+    # every value-carrying mod read of a tier-k voice targets a voice in
+    # an earlier tier
+    for b in range(st.batch):
+        for k in range(len(st.tiers)):
+            s, e = bounds[k], bounds[k + 1]
+            for name, dep in (("freq_mod_osc", "freq_mod_depth"),
+                              ("amp_mod_osc", "amp_mod_depth"),
+                              ("pan_mod_osc", "pan_mod_depth"),
+                              ("cz_mod_osc", "cz_mod_depth")):
+                osc = st.params[name][b][:, s:e]
+                depth = st.params[dep][b][:, s:e]
+                live = (osc >= 0) & (depth != 0) & (osc != np.arange(s, e))
+                assert (osc[live] < s).all(), (b, k, name)
+
+
+def test_tiered_matches_mixed_stack(reference_dir, session_bank):
+    """Mixed tier shapes stacked together (padding/filler lanes) must
+    still match per-script compat renders."""
+    tls = [compile_script((reference_dir / n).read_text().splitlines(), 0.4,
+                          bank=session_bank.fork(), script_dir=reference_dir)
+           for n in ("18.sk", "7.sk", "2.sk", "14.sk")]
+    out = render_fused(stack_timelines(tls), use_pallas=False)
+    for i, tl in enumerate(tls):
+        r = render_timeline(tl)
+        err = float(np.abs(out[i][: len(r)] - r).max())
+        assert 20 * np.log10(err + 1e-30) <= -60.0, i

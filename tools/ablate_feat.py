@@ -21,21 +21,6 @@ ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 SECONDS = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 
 
-def pad_segments_pow2(st):
-    s = st.params["amp"].shape[1]
-    sp = 1
-    while sp < s:
-        sp *= 2
-    if sp == s:
-        return st
-    def pad(a):
-        a = np.asarray(a)
-        reps = np.repeat(a[:, -1:], sp - s, axis=1)
-        return np.concatenate([a, reps], axis=1)
-    return dataclasses.replace(
-        st, params={k: pad(v) for k, v in st.params.items()},
-        ops={k: pad(v) for k, v in st.ops.items()})
-
 
 def main():
     import jax
@@ -47,7 +32,8 @@ def main():
     from skred_tpu.assets import WaveBank
     from skred_tpu.engine import fused as F
     from skred_tpu.host.native import compile_script_native
-    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+    from skred_tpu.parallel.batch import (pack_stacked, pad_segments_pow2,
+        stack_timelines)
 
     bank = WaveBank()
     tl = compile_script_native((REF / SCRIPT).read_text().splitlines(),

@@ -31,7 +31,8 @@ def main():
     from skred_tpu.assets import WaveBank
     from skred_tpu.engine.fused import render_fused_stream_device
     from skred_tpu.host.timeline import compile_script
-    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+    from skred_tpu.parallel.batch import (pack_stacked, pad_segments_pow2,
+        stack_timelines)
 
     bank = WaveBank()
     scripts = sorted(REF.glob("*.sk"))
@@ -53,23 +54,6 @@ def main():
     print(f"bucket ({VP},{PASSES}): {names}")
     reps = -(-ROWS // len(group))
     group = group * reps
-
-    import dataclasses
-
-    def pad_segments_pow2(st):
-        s = st.params["amp"].shape[1]
-        sp = 1
-        while sp < s:
-            sp *= 2
-        if sp == s:
-            return st
-        def pad(a):
-            a = np.asarray(a)
-            reps = np.repeat(a[:, -1:], sp - s, axis=1)
-            return np.concatenate([a, reps], axis=1)
-        return dataclasses.replace(
-            st, params={k: pad(v) for k, v in st.params.items()},
-            ops={k: pad(v) for k, v in st.ops.items()})
 
     st = pack_stacked(stack_timelines(group))
     st = pad_segments_pow2(st)

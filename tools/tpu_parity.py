@@ -100,9 +100,13 @@ def main() -> None:
 
     t0 = time.time()
     if bucketed:
-        # group exactly like bench.py: each (voices, passes, feature-set)
-        # bucket compiles its own specialized program — validates every
-        # kernel/glue variant the bench will time, on the real chip
+        # mirror bench.py exactly — same bucket grouping, same replica
+        # fill, same pow2 segment padding, same streamed-chunk program —
+        # so this validates AND warms the very programs the bench times
+        from skred_tpu.engine.fused import render_fused_stream
+        from skred_tpu.parallel.batch import pad_segments_pow2
+
+        CHUNK = 172
         buckets = {}
         for n, tl in zip(kept, tls):
             st1 = pack_stacked(stack_timelines([tl]))
@@ -110,14 +114,38 @@ def main() -> None:
             key = (vp, tl.fused_passes, compute_feat(st1))
             buckets.setdefault(key, []).append((n, tl))
         outs = {}
+        out_len = None
+        from skred_tpu.engine.fused import _pad_quantum
+
         for key, group in sorted(buckets.items()):
             gn = [n for n, _ in group]
-            st = stack_timelines([tl for _, tl in group])
-            o = render_fused(st, use_pallas=True)      # pads + unpads batch
+            vp = key[0]
+            target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
+            reps = max(4, -(-target // len(group)))
+            rows = [tl for _, tl in group] * reps
+            st = pack_stacked(stack_timelines(rows))
+            # pad the batch to the same quantum the bench's device-stream
+            # entry applies, by replicating the last row — identical
+            # compiled shapes either way
+            per = _pad_quantum(st, st.params["amp"].shape[-1])
+            pad_b = (-len(rows)) % max(per, 1)
+            if pad_b:
+                st = pack_stacked(stack_timelines(rows + [rows[-1]] * pad_b))
+            st = pad_segments_pow2(st)
+            whole = st.num_blocks // CHUNK
+            chunks = []
+            for chunk in render_fused_stream(st, CHUNK, keep_rows=len(gn)):
+                chunks.append(chunk)
+                if len(chunks) >= whole:
+                    break
+            o = np.concatenate(chunks, axis=1)
             for i, n in enumerate(gn):
                 outs[n] = o[i]
-            print(f"bucket v{key[0]} p{key[1]} {gn}: done", flush=True)
-        out = np.stack([outs[n] for n in kept])
+            out_len = o.shape[1] if out_len is None else min(out_len,
+                                                             o.shape[1])
+            print(f"bucket v{key[0]} p{key[1]} x{st.batch} {gn}: done",
+                  flush=True)
+        out = np.stack([outs[n][:out_len] for n in kept])
         print(f"TPU render: {time.time() - t0:.1f}s "
               f"({len(kept)} scripts, {len(buckets)} buckets)")
     else:
