@@ -780,9 +780,9 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             new_carry = {kk: jnp.concatenate([nc[kk] for nc in nc_parts],
                                              axis=1) for kk in _CK}
         else:
-            # fallback (cyclic union graph): repeated fixed-point passes —
-            # early passes only need modulator-source blocks, run on the
-            # packed source prefix
+            # single tier (rosters named "_t0") or cyclic-union fallback
+            # (repeat-passes layout, global roster names)
+            rk = "_t0" if tiers is not None else ""
             if n_src and n_src < Vp and mod_passes > 1:
                 # the rosters hold packed voice indices, not per-voice
                 # data — entries >= n_src one-hot to zero in the prefix
@@ -795,17 +795,18 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 for _ in range(mod_passes - 1):
                     s_src, _, _, _ = _voice_block_pass(
                         est[:, :n_src], c_src, p_src, nblk, counts,
-                        table_buffer, exact, use_pallas, feat, N=block)
+                        table_buffer, exact, use_pallas, feat, N=block,
+                        rk=rk)
                     est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
             else:
                 for _ in range(mod_passes - 1):
                     samples, _, _, _ = _voice_block_pass(
                         est, carry, p, nblk, counts, table_buffer, exact,
-                        use_pallas, feat, N=block)
+                        use_pallas, feat, N=block, rk=rk)
                     est = samples
             samples, left, right, new_carry = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
-                feat, N=block)
+                feat, N=block, rk=rk)
 
         # ---- mix + volume smoother ----
         mix_l = left.sum(axis=1)                    # [B, N]

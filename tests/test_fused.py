@@ -106,6 +106,34 @@ def test_table_lookup_kernel_interpret():
     assert np.all(out2 == 0.0)
 
 
+def test_pallas_lut_single_tier_deep_read(reference_dir, session_bank):
+    """Single-tier (no-modulation) scripts binding medium/big PCM tables
+    must route through the per-tier rosters; a broken roster key silently
+    reads the SMALL-tier LUT, which is only correct for the first 4096
+    samples of the table — so the render must run long enough for the
+    one-shot playback to pass index 4096 (regression: the 12.sk/34.sk
+    on-chip failures at 10 s)."""
+    from skred_tpu.engine import kernels
+
+    tls = [compile_script((reference_dir / n).read_text().splitlines(), 0.45,
+                          bank=session_bank.fork(), script_dir=reference_dir)
+           for n in ("12.sk", "35.sk")]
+    st = stack_timelines(tls)
+    from skred_tpu.parallel.batch import pack_stacked
+
+    stp = pack_stacked(st)
+    assert stp.tiers is not None and len(stp.tiers) == 1
+    a = render_fused(st, use_pallas=False)
+    old = kernels.INTERPRET
+    kernels.INTERPRET = True
+    try:
+        b = render_fused(st, use_pallas=True)
+    finally:
+        kernels.INTERPRET = old
+    err = float(np.abs(a - b).max())
+    assert err <= 1e-5, f"single-tier roster lookup diverged: {err}"
+
+
 def test_pallas_lut_with_big_tables(reference_dir, session_bank):
     """909.sk binds >4096-sample PCM tables → exercises the big-voice
     XLA-gather roster + small-voice VMEM LUT split."""
