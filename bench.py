@@ -46,8 +46,8 @@ def main() -> None:
         render_fused_stream_device)
     from skred_tpu.engine.render import _render_jit  # noqa: F401 (compat import)
     from skred_tpu.host.timeline import compile_script, noise_stream
-    from skred_tpu.parallel.batch import (pack_stacked, pad_segments_pow2,
-        stack_timelines)
+    from skred_tpu.parallel.batch import (bucket_key, fill_bucket,
+        pack_stacked, pad_segments_pow2, stack_timelines)
 
     scripts = sorted(REF.glob("*.sk")) if REF.exists() else []
     if not scripts:
@@ -82,10 +82,7 @@ def main() -> None:
         if tl.fused_passes is None:
             compat_tls.append(tl)   # 1-sample feedback loops: scan engine
             continue
-        st1 = pack_stacked(stack_timelines([tl]))
-        vp = st1.params["amp"].shape[-1]
-        buckets.setdefault((vp, tl.fused_passes, compute_feat(st1)),
-                           []).append(tl)
+        buckets.setdefault(bucket_key(tl), []).append(tl)
 
     total_audio = 0.0
     total_wall = 0.0
@@ -96,9 +93,7 @@ def main() -> None:
         # fill each bucket to a batch that amortizes per-block overheads
         # (the per-block fixed cost dominates light buckets: 0.sk-class
         # scripts nearly double their throughput from 256 to 1024 rows)
-        target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
-        reps = max(REPLICAS, -(-target // len(group)))
-        group = group * reps
+        group = fill_bucket(group, vp, REPLICAS)
         st = pack_stacked(stack_timelines(group))
         st = pad_segments_pow2(st)
         render_fused_stream_device(st, CHUNK, warmup_only=True)  # compile

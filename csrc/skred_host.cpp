@@ -127,10 +127,10 @@ struct Engine {
   float volume_user = 1.0f, volume_final = AMY_FACTOR;
   int64_t sample_count = 0;
   float tempo_time_per_step = 60.0f, tempo_bpm = 30.0f, tempo_base = 0.0f;
-  int rec_state = 0;
-  int64_t rec_ptr = 0;
   bool unsupported = false;   // recorder / dynamic wave expansion used:
                               // the Python compiler is the full path
+                              // (scripts touching them are refused, so
+                              // no rec_state lives here)
 
   // sequencer
   std::string seq_pattern[PATTERNS_MAX][SEQ_STEPS_MAX];
@@ -758,7 +758,7 @@ static int wire_function(Skode &s) {
     else e.pan_mod_set(voice, x, arg[1]);
   }
   else if (atom == ATOM("q")) { if (argc) { e.quantize[voice] = x; e.dirty = true; } }
-  else if (atom == ATOM("r")) { if (argc && e.rec_state == 0) { e.record[voice] = x; e.dirty = true; } }
+  else if (atom == ATOM("r")) { if (argc) { e.record[voice] = x; e.dirty = true; } }
   else if (atom == ATOM("s")) {
     if (argc) {
       if (arg[0] <= 0) e.smoother_enable[voice] = 0;

@@ -444,7 +444,6 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     else:
         # no one-shot voices: alive is constant within the block
         alive = None
-        alive_row = active0
         f = jnp.where(active0[..., None], f, F32(0.0))
 
     new_phase = ph_end

@@ -200,7 +200,7 @@ def render_batch(scripts: List[pathlib.Path], seconds: float,
         st = stack_timelines(tls)
         out = render_stacked(st, mesh=mesh)
     else:
-        from skred_tpu.engine.fused import compute_feat, render_fused
+        from skred_tpu.engine.fused import _pad_quantum, render_fused
 
         buckets = {}
         compat_idx = []
@@ -208,20 +208,29 @@ def render_batch(scripts: List[pathlib.Path], seconds: float,
             if tl.fused_passes is None:
                 compat_idx.append(i)
                 continue
-            st1 = pack_stacked(stack_timelines([tl]))
-            key = (st1.params["amp"].shape[-1], tl.fused_passes,
-                   compute_feat(st1))
-            buckets.setdefault(key, []).append(i)
+            buckets.setdefault(bucket_key(tl), []).append(i)
+        ndev = mesh.size if mesh is not None else 1
         out = None
         for key, idxs in sorted(buckets.items()):
-            st = stack_timelines([tls[i] for i in idxs])
+            rows = [tls[i] for i in idxs]
+            st = pack_stacked(stack_timelines(rows))
+            # pad rows so the (pallas-padded) batch shards evenly over the
+            # mesh: a multiple of lcm(pallas lane quantum, device count)
+            per = _pad_quantum(st, st.params["amp"].shape[-1])
+            q = per * ndev // np.gcd(per, ndev)
+            pad_b = (-len(rows)) % max(q, 1)
+            if pad_b:
+                st = pack_stacked(
+                    stack_timelines(rows + [rows[-1]] * pad_b))
             o = render_fused(st, mesh=mesh)
             if out is None:
                 out = np.zeros((len(tls), o.shape[1], 2), np.float32)
             for j, i in enumerate(idxs):
                 out[i] = o[j]
         if compat_idx:
-            st = stack_timelines([tls[i] for i in compat_idx])
+            rows = [tls[i] for i in compat_idx]
+            pad_b = (-len(rows)) % max(ndev, 1)
+            st = stack_timelines(rows + [rows[-1]] * pad_b)
             o = render_stacked(st, mesh=mesh)
             if out is None:
                 out = np.zeros((len(tls), o.shape[1], 2), np.float32)
@@ -493,6 +502,27 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
         roster(big, "big_map", vp_)
     return dataclasses.replace(st, params=params, ops=ops, n_src=n_src,
                                tiers=tiers)
+
+
+def bucket_key(tl) -> tuple:
+    """Specialization bucket for a fused-capable timeline: (packed voice
+    count, fixed-point passes, static feature set).  Scripts sharing a
+    key render in one specialized compiled program; bench.py,
+    tools/tpu_parity.py --bucketed and render_batch all group by this so
+    validation runs the exact programs the bench times."""
+    from skred_tpu.engine.fused import compute_feat
+
+    st1 = pack_stacked(stack_timelines([tl]))
+    return (st1.params["amp"].shape[-1], tl.fused_passes, compute_feat(st1))
+
+
+def fill_bucket(group: list, vp: int, min_reps: int = 4) -> list:
+    """Replicate a bucket's timelines to the row count that amortizes
+    per-block fixed costs (bench.py's fill policy — light scripts nearly
+    double their throughput from 256 to 1024 rows)."""
+    target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
+    reps = max(min_reps, -(-target // len(group)))
+    return group * reps
 
 
 def pad_segments_pow2(st: StackedTimelines) -> StackedTimelines:

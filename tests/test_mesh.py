@@ -47,3 +47,19 @@ def test_mesh_subset(small_batch):
     a = render_fused(small_batch)
     b = render_fused(small_batch, mesh=mesh)
     assert np.array_equal(a, b)
+
+
+def test_render_batch_mesh_odd_sizes(reference_dir):
+    """render_batch auto mode pads each feature bucket so arbitrary group
+    sizes shard evenly over the mesh (regression: 3 scripts over 8
+    devices failed NamedSharding divisibility)."""
+    import pathlib
+
+    from skred_tpu.parallel.batch import render_batch
+
+    ps = [reference_dir / n for n in ("0.sk", "21.sk", "14.sk")]
+    mesh = make_mesh()
+    a = render_batch(ps, 0.2, mesh=mesh)
+    b = render_batch(ps, 0.2, engine="compat")
+    assert a.shape == b.shape
+    assert float(np.abs(a - b).max()) < 1e-3

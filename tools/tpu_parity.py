@@ -107,22 +107,18 @@ def main() -> None:
         from skred_tpu.parallel.batch import pad_segments_pow2
 
         CHUNK = 172
+        from skred_tpu.engine.fused import _pad_quantum
+        from skred_tpu.parallel.batch import bucket_key, fill_bucket
+
         buckets = {}
         for n, tl in zip(kept, tls):
-            st1 = pack_stacked(stack_timelines([tl]))
-            vp = st1.params["amp"].shape[-1]
-            key = (vp, tl.fused_passes, compute_feat(st1))
-            buckets.setdefault(key, []).append((n, tl))
+            buckets.setdefault(bucket_key(tl), []).append((n, tl))
         outs = {}
         out_len = None
-        from skred_tpu.engine.fused import _pad_quantum
-
         for key, group in sorted(buckets.items()):
             gn = [n for n, _ in group]
             vp = key[0]
-            target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
-            reps = max(4, -(-target // len(group)))
-            rows = [tl for _, tl in group] * reps
+            rows = fill_bucket([tl for _, tl in group], vp)
             st = pack_stacked(stack_timelines(rows))
             # pad the batch to the same quantum the bench's device-stream
             # entry applies, by replicating the last row — identical
