@@ -19,6 +19,13 @@ import pytest
 # the axon TPU plugin ignores JAX_PLATFORMS; force CPU explicitly
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: repeated suite runs skip recompiles (entries
+# are keyed by platform, so sharing the TPU bench cache dir is safe)
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).resolve().parent.parent
+                      / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE = pathlib.Path("/root/reference")
 
