@@ -82,11 +82,17 @@ class Feat(NamedTuple):
     hold_copy: bool = True   # any copy_hold_from op
 
 
-def compute_feat(st) -> Feat:
-    """Derive the static feature flags from a (packed) StackedTimelines."""
+def compute_feat(st, lanes=None) -> Feat:
+    """Derive the static feature flags from a (packed) StackedTimelines.
+
+    ``lanes=(lo, hi)`` restricts to a voice-lane slice — used to derive
+    per-tier flags so each tier's pass/kernels compile out stages only
+    *other* tiers use (a tier of plain LFO modulators carries no biquad
+    chain even when the batch's carrier tier filters)."""
     p, o = st.params, st.ops
-    arr = lambda k: np.asarray(p[k])
-    oarr = lambda k: np.asarray(o[k])
+    sl = slice(*lanes) if lanes is not None else slice(None)
+    arr = lambda k: np.asarray(p[k])[..., sl]
+    oarr = lambda k: np.asarray(o[k])[..., sl]
     return Feat(
         fm=bool((arr("freq_mod_osc") >= 0).any()),
         cz=bool((arr("cz_mode") != 0).any()),
@@ -238,16 +244,30 @@ def _read_block(est, prev_last, osc, delayed):
 
     est: [B, V, N] candidate blocks; prev_last: [B, V] previous block's
     final samples; osc/delayed: [B, V]."""
+    return _read_blocks_multi(est, prev_last, [(osc, delayed)])[0]
+
+
+def _read_blocks_multi(est, prev_last, pairs):
+    """All of a pass's modulator reads in ONE one-hot matmul: ``pairs`` is
+    a list of (osc [B, V], delayed [B, V]); the selectors stack on a new
+    axis so the K reads ride a single [B, K·V, V_src] × [B, V_src, N]
+    MXU contraction instead of K small ones (per-element numerics
+    identical: the same dot over the source axis).  Returns K arrays
+    [B, V, N] in order."""
     nv = est.shape[1]
+    k = len(pairs)
+    osc = jnp.stack([o for o, _ in pairs], axis=1)        # [B, K, V]
     sel = (osc[..., None] == np.arange(nv, dtype=np.int32)).astype(est.dtype)
-    src = jnp.einsum("bnm,bmt->bnt", sel, est,
+    src = jnp.einsum("bknm,bmt->bknt", sel, est,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    src_last = jnp.einsum("bnm,bm->bn", sel, prev_last,
+    src_last = jnp.einsum("bknm,bm->bkn", sel, prev_last,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
     shifted = jnp.concatenate([src_last[..., None], src[..., :-1]], axis=-1)
-    return jnp.where((delayed != 0)[..., None], shifted, src)
+    delayed = jnp.stack([d for _, d in pairs], axis=1)    # [B, K, V]
+    out = jnp.where((delayed != 0)[..., None], shifted, src)
+    return [out[:, i] for i in range(k)]
 
 
 def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
@@ -269,10 +289,26 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     active0 = p["amp"] != 0.0                       # [B, V]
     prev_last = full["sample"] if full is not None else carry["sample"]
 
+    # ---- all modulator reads in one one-hot matmul ----
+    read_specs = []
+    if feat.fm:
+        read_specs.append(("fm", p["freq_mod_osc"], p["fm_delayed"]))
+    if feat.cz:
+        read_specs.append(("cz", p["cz_mod_osc"], p["cm_delayed"]))
+    if feat.am:
+        read_specs.append(("am", p["amp_mod_osc"], p["am_delayed"]))
+    if feat.pm:
+        read_specs.append(("pm", p["pan_mod_osc"], p["pm_delayed"]))
+    if read_specs:
+        reads = dict(zip(
+            (name for name, _, _ in read_specs),
+            _read_blocks_multi(est, prev_last,
+                               [(o, d) for _, o, d in read_specs])))
+
     # ---- FM increments ----
     if feat.fm:
         fm = p["freq_mod_osc"]
-        fm_read = _read_block(est, prev_last, fm, p["fm_delayed"])
+        fm_read = reads["fm"]
         g = fm_read * p["freq_mod_depth"][..., None]
         src_inc = full["phase_inc"] if full is not None else p["phase_inc"]
         mod_inc = jnp.take_along_axis(src_inc, jnp.maximum(fm, 0), axis=1)
@@ -371,7 +407,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     # ---- table lookup (+ CZ) ----
     if feat.cz:
         cm = p["cz_mod_osc"]
-        cz_read = _read_block(est, prev_last, cm, p["cm_delayed"])
+        cz_read = reads["cz"]
         dm = jnp.where((cm >= 0)[..., None],
                        cz_read * p["cz_mod_depth"][..., None], F32(1.0))
         cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
@@ -482,7 +518,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
             F32(1.0))
     if feat.am:
         am = p["amp_mod_osc"]
-        am_read = _read_block(est, prev_last, am, p["am_delayed"])
+        am_read = reads["am"]
         ampmod_x = jnp.where((am >= 0)[..., None],
                              am_read * p["amp_mod_depth"][..., None],
                              F32(1.0))
@@ -618,7 +654,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     # ---- pan ----
     if feat.pm:
         pm = p["pan_mod_osc"]
-        pm_read = _read_block(est, prev_last, pm, p["pm_delayed"])
+        pm_read = reads["pm"]
         if feat.pm_self:
             pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples,
                                 pm_read)
@@ -694,38 +730,40 @@ def make_carry0(B, Vp):
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "capture", "exact",
                                              "use_pallas", "n_src", "feat",
-                                             "tiers"))
+                                             "tiers", "feat_tiers"))
 def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                num_blocks, block, mod_passes, capture, exact=False,
-               use_pallas=False, n_src=0, feat=Feat(), tiers=None):
+               use_pallas=False, n_src=0, feat=Feat(), tiers=None,
+               feat_tiers=None):
     B, _, Vp = params["amp"].shape
     carry0 = make_carry0(B, Vp)
     _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
                           table_buffer, noise, 0, num_blocks, block,
                           mod_passes, capture, exact, use_pallas, n_src, feat,
-                          tiers)
+                          tiers, feat_tiers)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "exact",
                                              "use_pallas", "n_src", "feat",
-                                             "tiers"))
+                                             "tiers", "feat_tiers"))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
                      mod_passes, exact=False, use_pallas=False, n_src=0,
-                     feat=Feat(), tiers=None):
+                     feat=Feat(), tiers=None, feat_tiers=None):
     """One streaming chunk: render `num_blocks` blocks starting at global
     block index `block0` (traced), carrying state in/out."""
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
                        mod_passes, False, exact, use_pallas, n_src, feat,
-                       tiers)
+                       tiers, feat_tiers)
 
 
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
-                use_pallas, n_src=0, feat=Feat(), tiers=None):
+                use_pallas, n_src=0, feat=Feat(), tiers=None,
+                feat_tiers=None):
     B, _, Vp = params["amp"].shape
     any_mod = feat.fm or feat.cz or feat.am or feat.pm
     _CK = ("phase", "finished", "sample", "hold_count", "hold_val",
@@ -762,9 +800,12 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                             else vv) for kk, vv in p.items()}
                 c_t = {kk: (vv[:, ts_:te] if vv.ndim == 2 else vv)
                        for kk, vv in carry.items()}
+                # per-tier static flags: this tier's pass and kernels
+                # carry only the stages its own lanes use
+                ft = feat_tiers[ti] if feat_tiers is not None else feat
                 samples_t, left_t, right_t, nc_t = _voice_block_pass(
                     est, c_t, p_t, nblk, counts, table_buffer,
-                    exact, use_pallas, feat, N=block, full=full,
+                    exact, use_pallas, ft, N=block, full=full,
                     rk=f"_t{ti}")
                 if ti + 1 < len(tiers):
                     est = jax.lax.dynamic_update_slice_in_dim(
@@ -824,6 +865,16 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
     return carry, outs
 
 
+def _feat_tiers(st):
+    """Per-tier static feature flags (None when not tiered / single
+    tier): tier k's pass compiles only the stages its lanes use."""
+    if not st.tiers or len(st.tiers) <= 1:
+        return None
+    bounds = np.cumsum((0,) + tuple(st.tiers))
+    return tuple(compute_feat(st, (int(bounds[i]), int(bounds[i + 1])))
+                 for i in range(len(st.tiers)))
+
+
 def _pad_quantum(st, Vp):
     """Batch-padding quantum: every pallas lane group (each tier slice, or
     the n_src prefix / full width in the fallback layout) must flatten to
@@ -868,6 +919,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
         exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     table = jnp.asarray(st.table_buffer)
     feat = compute_feat(st)
+    fts = _feat_tiers(st)
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
     sis = np.asarray(st.seg_is_start)
@@ -881,7 +933,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             table, jnp.asarray(n), jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
-            tiers=st.tiers)
+            tiers=st.tiers, feat_tiers=fts)
         r = B if keep_rows is None else min(keep_rows, B)
         yield np.asarray(outs[:, :r]).swapaxes(0, 1) \
             .reshape(r, nb * st.block, 2)
@@ -923,6 +975,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     ops = {k: jnp.asarray(v) for k, v in st.ops.items()}
     table = jnp.asarray(st.table_buffer)
     feat = compute_feat(st)
+    fts = _feat_tiers(st)
     B = st.batch
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
@@ -939,7 +992,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
             table, n, jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
-            tiers=st.tiers)
+            tiers=st.tiers, feat_tiers=fts)
         if warmup_only:
             break
     if outs is None:
@@ -988,7 +1041,8 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                       num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=False, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
-                      feat=compute_feat(st), tiers=st.tiers)
+                      feat=compute_feat(st), tiers=st.tiers,
+                      feat_tiers=_feat_tiers(st))
 
 
 def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
@@ -1047,7 +1101,8 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
                       put_r(noise), num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=capture, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
-                      feat=compute_feat(st), tiers=st.tiers)
+                      feat=compute_feat(st), tiers=st.tiers,
+                      feat_tiers=_feat_tiers(st))
     if capture:
         out, cap = outs
         return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],
