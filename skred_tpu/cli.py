@@ -115,6 +115,49 @@ def cmd_repl(args) -> int:
     return repl_main(seconds=args.seconds)
 
 
+def cmd_serve(args) -> int:
+    """UDP wire server (reference: udp.c thread, port 60440) — clients
+    (Tcl controllers, MIDI bridges, udpmini) send wire text; the
+    ``.render [sec] [out.wav]`` meta-command flushes the session to
+    audio."""
+    _force_platform(args.platform)
+    import time as _time
+
+    from skred_tpu.assets import WaveBank
+    from skred_tpu.frontends.repl import _render
+    from skred_tpu.frontends.udp import UdpServer
+    from skred_tpu.host import HostEngine
+
+    bank = WaveBank()
+    engine = HostEngine(bank.fork())
+
+    def on_render(history, sec, out):
+        _render(history, sec, out, bank)
+
+    srv = UdpServer(engine, script_dir=pathlib.Path.cwd(), port=args.port,
+                    on_render=on_render)
+    port = srv.start()
+    print(f"# skred_tpu serve: UDP wire server on port {port} "
+          f"(.render [sec] [out.wav] to flush)")
+    try:
+        while True:
+            _time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
+def cmd_midi_in(args) -> int:
+    from skred_tpu.frontends.live_midi import main as midi_main
+
+    host, _, port = args.to.partition(":")
+    return midi_main(args.port, host or "127.0.0.1",
+                     int(port) if port else 60440,
+                     voice_offset=args.voice_offset)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="skred_tpu")
     ap.add_argument("--platform", default=None,
@@ -137,7 +180,8 @@ def main(argv=None) -> int:
     b.add_argument("--outdir", default="renders")
     b.add_argument("--engine", choices=("auto", "compat"), default="auto",
                    help="auto = specialized fused engine per feature "
-                        "bucket (compat fallback); compat = bit-exact")
+                        "bucket (fast; parity <= -60 dB vs the reference, "
+                        "NOT bit-exact); compat = bit-exact scan engine")
     b.set_defaults(fn=cmd_batch)
 
     m = sub.add_parser("render-midi",
@@ -154,6 +198,20 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=4.0,
                    help="render window per interactive evaluation")
     p.set_defaults(fn=cmd_repl)
+
+    s = sub.add_parser("serve", help="UDP wire server (port 60440)")
+    s.add_argument("--port", type=int, default=60440)
+    s.set_defaults(fn=cmd_serve)
+
+    mi = sub.add_parser("midi-in",
+                        help="live MIDI input -> wire over UDP (cmex2)")
+    mi.add_argument("--port", default="hw:0,0",
+                    help="ALSA rawmidi device (hw:X,Y / virtual) or a "
+                         "pipe/device path readable as raw MIDI bytes")
+    mi.add_argument("--to", default="127.0.0.1:60440",
+                    help="wire server host:port")
+    mi.add_argument("--voice-offset", type=int, default=0)
+    mi.set_defaults(fn=cmd_midi_in)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -509,11 +509,20 @@ def bucket_key(tl) -> tuple:
     count, fixed-point passes, static feature set).  Scripts sharing a
     key render in one specialized compiled program; bench.py,
     tools/tpu_parity.py --bucketed and render_batch all group by this so
-    validation runs the exact programs the bench times."""
+    validation runs the exact programs the bench times.
+
+    The single-row pack is memoized on the timeline object (the pack is
+    O(segments·voices) Python work; large corpora call this per script
+    and then re-pack each group)."""
+    cached = getattr(tl, "_bucket_key", None)
+    if cached is not None:
+        return cached
     from skred_tpu.engine.fused import compute_feat
 
     st1 = pack_stacked(stack_timelines([tl]))
-    return (st1.params["amp"].shape[-1], tl.fused_passes, compute_feat(st1))
+    key = (st1.params["amp"].shape[-1], tl.fused_passes, compute_feat(st1))
+    tl._bucket_key = key
+    return key
 
 
 def fill_bucket(group: list, vp: int, min_reps: int = 4) -> list:

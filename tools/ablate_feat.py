@@ -47,37 +47,36 @@ def main():
     CHUNK = 172
     audio = st.batch * (st.num_blocks // CHUNK) * CHUNK * st.block / 44100.0
 
-    # monkey-patch compute_feat so render picks up the override
-    def run(label, feat):
+    # monkey-patch compute_feat so render picks up the override; restored
+    # in the finally below so in-process reuse keeps real feature flags
+    orig_compute_feat = F.compute_feat
+
+    def run(label, feat, stx):
         F.compute_feat = lambda _st: feat
-        F.render_fused_stream_device(st, CHUNK, warmup_only=True)
+        F.render_fused_stream_device(stx, CHUNK, warmup_only=True)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            F.render_fused_stream_device(st, CHUNK)
+            F.render_fused_stream_device(stx, CHUNK)
             best = min(best, time.time() - t0)
         print(f"{label:24s} wall={best:7.3f}s  x_rt={audio/best:8.1f}")
         return best
 
-    base = run("baseline", feat0)
-    for flag in ("fm", "cz", "am", "pm", "env", "flt", "sm", "hold",
-                 "quant", "noise", "finish", "disc"):
-        if getattr(feat0, flag):
-            f = feat0._replace(**{flag: False})
-            w = run(f"-{flag}", f)
-            print(f"    {flag} costs ~{(base - w) / base * 100:5.1f}%")
-    # mod_passes=1 variant: measures the full cost of fixed-point passes
-    if st.fused_passes and st.fused_passes > 1:
-        st1 = dataclasses.replace(st, fused_passes=1)
-        F.compute_feat = lambda _st: feat0
-        F.render_fused_stream_device(st1, CHUNK, warmup_only=True)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            F.render_fused_stream_device(st1, CHUNK)
-            best = min(best, time.time() - t0)
-        print(f"{'passes=1':24s} wall={best:7.3f}s  x_rt={audio/best:8.1f}"
-              f"   (extra passes cost ~{(base-best)/base*100:.1f}%)")
+    try:
+        base = run("baseline", feat0, st)
+        for flag in ("fm", "cz", "am", "pm", "env", "flt", "sm", "hold",
+                     "quant", "noise", "finish", "disc"):
+            if getattr(feat0, flag):
+                f = feat0._replace(**{flag: False})
+                w = run(f"-{flag}", f, st)
+                print(f"    {flag} costs ~{(base - w) / base * 100:5.1f}%")
+        # mod_passes=1 variant: full cost of the fixed-point passes
+        if st.fused_passes and st.fused_passes > 1:
+            st1 = dataclasses.replace(st, fused_passes=1)
+            w = run("passes=1", feat0, st1)
+            print(f"    extra passes cost ~{(base - w) / base * 100:.1f}%")
+    finally:
+        F.compute_feat = orig_compute_feat
 
 
 if __name__ == "__main__":

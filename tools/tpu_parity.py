@@ -4,6 +4,7 @@ mode, Pallas kernels, VMEM table LUT) and compare against the bit-exact
 compat engine.
 
 Usage:  python tools/tpu_parity.py [seconds] [script.sk ... | all]
+                                   [--bucketed] [--replicas N]
 
 Every script must come in at or below the -60 dB target (BASELINE.md).
 The exact mode reproduces the reference binary's arithmetic on TPU:
@@ -73,8 +74,14 @@ def main() -> None:
 
     import numpy as np
 
-    args = [a for a in sys.argv[1:] if a != "--bucketed"]
-    bucketed = "--bucketed" in sys.argv[1:]
+    argv = sys.argv[1:]
+    replicas = 4                     # bench.py's REPLICAS default
+    if "--replicas" in argv:
+        i = argv.index("--replicas")
+        replicas = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--bucketed"]
+    bucketed = "--bucketed" in argv
     seconds = float(args[0]) if args else 3.0
     names = args[1:] or DEFAULT
     if names == ["all"]:
@@ -118,7 +125,9 @@ def main() -> None:
         for key, group in sorted(buckets.items()):
             gn = [n for n, _ in group]
             vp = key[0]
-            rows = fill_bucket([tl for _, tl in group], vp)
+            # forward the same replicas bench.py passes so the validated
+            # batch shape is exactly the benched one (--replicas N)
+            rows = fill_bucket([tl for _, tl in group], vp, replicas)
             st = pack_stacked(stack_timelines(rows))
             # pad the batch to the same quantum the bench's device-stream
             # entry applies, by replicating the last row — identical
