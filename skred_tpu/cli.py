@@ -158,6 +158,14 @@ def cmd_midi_in(args) -> int:
                      voice_offset=args.voice_offset)
 
 
+def cmd_scope(args) -> int:
+    _force_platform(args.platform)
+    from skred_tpu.frontends.scope_view import main as scope_main
+
+    return scope_main(args.script, seconds=args.seconds, fps=args.fps,
+                      realtime=not args.fast, window=args.window)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="skred_tpu")
     ap.add_argument("--platform", default=None,
@@ -212,6 +220,17 @@ def main(argv=None) -> int:
                     help="wire server host:port")
     mi.add_argument("--voice-offset", type=int, default=0)
     mi.set_defaults(fn=cmd_midi_in)
+
+    sc = sub.add_parser("scope",
+                        help="live trigger-locked scope over a render")
+    sc.add_argument("script")
+    sc.add_argument("--seconds", type=float, default=10.0)
+    sc.add_argument("--fps", type=float, default=30.0)
+    sc.add_argument("--fast", action="store_true",
+                    help="animate as fast as rendered (no audio-clock pace)")
+    sc.add_argument("--window", type=int, default=2048,
+                    help="samples per screen")
+    sc.set_defaults(fn=cmd_scope)
 
     args = ap.parse_args(argv)
     return args.fn(args)
