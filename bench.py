@@ -118,11 +118,18 @@ def main() -> None:
         total_audio += audio
         total_wall += wall
         fstr = ",".join(k for k, v in feat._asdict().items() if v)
+        # analytic roofline attribution: achieved bytes/s and FLOP/s vs
+        # chip peaks, naming the bound resource (estimate — see
+        # skred_tpu/parallel/roofline.py)
+        from skred_tpu.parallel.roofline import estimate_bucket
+
+        roof = estimate_bucket(st).roofline(wall, whole_chunks * CHUNK)
         detail.append({"voices": int(vp), "passes": int(passes),
                        "feat": fstr, "rows": len(group),
                        "distinct_scripts": n_distinct,
                        "wall_s": round(wall, 3),
-                       "x_rt": round(audio / wall, 1)})
+                       "x_rt": round(audio / wall, 1),
+                       "roofline": roof})
     if compat_tls:
         from skred_tpu.parallel.batch import render_stacked
 

@@ -445,18 +445,26 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                               preferred_element_type=F32,
                               precision=jax.lax.Precision.HIGHEST)
 
+        # voice-major lane order: the kernel's grid walks all rows of one
+        # voice before the next, so lanes binding the same table sit on
+        # CONSECUTIVE grid steps and the Pallas pipeline skips the slot
+        # re-DMA (equal block indices are not re-fetched) — on replicated
+        # or same-patch batches this cuts the dominant HBM stream (a
+        # 16 KB table copy per lane per block) by the run length
         tb3 = table_buffer.reshape(-1, 32, 128)
-        slot = (p["table_off"] // 4096).astype(I32).reshape(B_ * V_)
-        f_osc = KK.table_lookup_pallas(
-            tb3, slot, idx.reshape(B_ * V_, N)).reshape(B_, V_, N)
+        slot = (p["table_off"] // 4096).astype(I32)
+        f_osc = KK.table_lookup_grouped(
+            tb3, slot.T.reshape(V_ * B_),
+            idx.transpose(1, 0, 2).reshape(V_ * B_, N)) \
+            .reshape(V_, B_, N).transpose(1, 0, 2)
         if ("med_map" + rk) in p and table_buffer.shape[0] % 32768 == 0:
             sel, idx_m, off_m = roster_select("med_map" + rk)
             gm = idx_m.shape[1]
-            f_m = KK.table_lookup_pallas(
+            f_m = KK.table_lookup_grouped(
                 table_buffer.reshape(-1, 256, 128),
-                (off_m // 32768).astype(I32).reshape(B_ * gm),
-                idx_m.reshape(B_ * gm, N),
-                slot_size=32768).reshape(B_, gm, N)
+                (off_m // 32768).astype(I32).T.reshape(gm * B_),
+                idx_m.transpose(1, 0, 2).reshape(gm * B_, N),
+                slot_size=32768).reshape(gm, B_, N).transpose(1, 0, 2)
             f_osc = jnp.where(p["med_voice"][..., None] != 0,
                               roster_scatter(sel, f_m), f_osc)
         if ("big_map" + rk) in p:
@@ -760,6 +768,24 @@ def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                        tiers, feat_tiers)
 
 
+def _pack_by_dtype(arrs: dict, Vp: int):
+    """Group [B, S, Vp]-shaped arrays by dtype and stack each group into
+    one [B, S, P, Vp] tensor, so the per-block segment gather is a few
+    big dynamic slices instead of one per parameter (~75 gathers/block
+    otherwise — pure scalar-core overhead inside the block scan)."""
+    groups = {}
+    rest = []
+    for k in sorted(arrs):
+        v = arrs[k]
+        if v.ndim == 3 and v.shape[2] == Vp:
+            groups.setdefault(jnp.dtype(v.dtype).name, []).append(k)
+        else:
+            rest.append(k)
+    stacked = {dt: jnp.stack([arrs[k] for k in keys], axis=2)
+               for dt, keys in groups.items()}
+    return groups, stacked, rest
+
+
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
                 use_pallas, n_src=0, feat=Feat(), tiers=None,
@@ -768,11 +794,24 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
     any_mod = feat.fm or feat.cz or feat.am or feat.pm
     _CK = ("phase", "finished", "sample", "hold_count", "hold_val",
            "x1", "x2", "y1", "y2", "smoother", "pan_l", "pan_r")
+    p_groups, p_stacked, p_rest = _pack_by_dtype(params, Vp)
+    o_groups, o_stacked, o_rest = _pack_by_dtype(ops, Vp)
+
+    def _gather(groups, stacked, rest, arrs, seg):
+        ar = jnp.arange(B)
+        out = {}
+        for dt, keys in groups.items():
+            blk = stacked[dt][ar, seg]              # [B, P, Vp]
+            for i, k in enumerate(keys):
+                out[k] = blk[:, i]
+        for k in rest:
+            out[k] = arrs[k][ar, seg]
+        return out
 
     def block_step(carry, k):
         seg = seg_of_block[:, k]                    # [B]
-        p = {name: arr[jnp.arange(B), seg] for name, arr in params.items()}
-        o = {name: arr[jnp.arange(B), seg] for name, arr in ops.items()}
+        p = _gather(p_groups, p_stacked, p_rest, params, seg)
+        o = _gather(o_groups, o_stacked, o_rest, ops, seg)
         carry = _apply_ops_b(carry, o, seg_is_start[:, k][:, None], feat)
         counts = ((block0 + k) * block + 1 + jnp.arange(block)).astype(I32) \
             if feat.env else None

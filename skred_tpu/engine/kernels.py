@@ -519,6 +519,106 @@ def table_lookup_pallas(table3, slot, idx, slot_size=SLOT):
     return out.reshape(m, n)
 
 
+LUT_GROUP = 16       # lanes per grouped-LUT grid step
+
+
+def _make_lut_kernel_grouped(slot_rows, G):
+    """Grouped table-lookup kernel: G lanes per grid step, each lane's
+    table slot DMA'd manually into a VMEM scratch.  A persistent
+    "current slot" register (SMEM, survives across grid steps on the
+    sequential TPU grid) skips the copy whenever the next lane binds the
+    same table — with the voice-major lane order and run-adjacent batch
+    fill, whole replica runs share ONE DMA.  Versus the one-lane-per-
+    step kernel this cuts the scalar-core grid-step overhead (the
+    measured bottleneck of the heavy buckets — see
+    parallel/roofline.py) by G."""
+
+    def kernel(slot_ref, tab_ref, idx_ref, out_ref, scratch, cur, sem):
+        p = pl.program_id(0)
+
+        @pl.when(p == 0)
+        def _init():
+            cur[0] = jnp.int32(-1)
+
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+        for g in range(G):
+            s = slot_ref[p * G + g]
+
+            @pl.when(s != cur[0])
+            def _fetch(s=s):
+                cp = pltpu.make_async_copy(tab_ref.at[s], scratch, sem)
+                cp.start()
+                cp.wait()
+                cur[0] = s
+
+            i = idx_ref[0, g]                    # [r, 128]
+            hi = jax.lax.shift_right_logical(i, jnp.int32(7))
+            lo = jax.lax.bitwise_and(i, jnp.int32(127))
+            acc = jnp.zeros(i.shape, jnp.float32)
+            for c in range(slot_rows):
+                bc = jnp.broadcast_to(scratch[c:c + 1, :], i.shape)
+                gth = jax.lax.gather(
+                    bc, lo[..., None], dnums, slice_sizes=(1, 1),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                acc = jnp.where(hi == c, gth, acc)
+            out_ref[0, g] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _lut_grouped_for(slot_rows, G):
+    return _make_lut_kernel_grouped(slot_rows, G)
+
+
+@functools.partial(jax.jit, static_argnames=("slot_size",))
+def table_lookup_grouped(table3, slot, idx, slot_size=None):
+    """Grouped VMEM wavetable lookup (see _make_lut_kernel_grouped).
+
+    table3: [n_slots, slot_size//128, 128]; slot: [M] i32 slot per lane;
+    idx: [M, N] i32 clipped sample indices, N % 128 == 0.  Lanes are
+    padded to a LUT_GROUP multiple internally.  Returns [M, N] f32."""
+    if slot_size is None:
+        slot_size = SLOT
+    m, n = idx.shape
+    r = n // 128
+    rows = slot_size // 128
+    G = LUT_GROUP
+    pad = (-m) % G
+    if pad:
+        slot = jnp.concatenate([slot, jnp.zeros(pad, slot.dtype)])
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((pad, n), idx.dtype)], axis=0)
+    mp = m + pad
+    idx4 = idx.reshape(mp // G, G, r, 128)
+    out = pl.pallas_call(
+        _lut_grouped_for(rows, G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec((1, G, r, 128),
+                             lambda p, s: (p, p * 0, p * 0, p * 0)),
+            ],
+            out_specs=pl.BlockSpec((1, G, r, 128),
+                                   lambda p, s: (p, p * 0, p * 0, p * 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp // G, G, r, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=INTERPRET,
+    )(slot, table3, idx4)
+    return out.reshape(mp, n)[:m]
+
+
 def to_time_major(a: jnp.ndarray) -> jnp.ndarray:
     """[B, V, N] → [N, B*V]."""
     b, v, n = a.shape

@@ -528,10 +528,18 @@ def bucket_key(tl) -> tuple:
 def fill_bucket(group: list, vp: int, min_reps: int = 4) -> list:
     """Replicate a bucket's timelines to the row count that amortizes
     per-block fixed costs (bench.py's fill policy — light scripts nearly
-    double their throughput from 256 to 1024 rows)."""
+    double their throughput from 256 to 1024 rows).
+
+    Layout: the distinct scripts first (consumers reading the head rows
+    see one of each), then each script's replicas in an ADJACENT run —
+    with the voice-major LUT grid (engine/fused.py) same-table lanes
+    land on consecutive grid steps and the table re-DMA is skipped."""
     target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
     reps = max(min_reps, -(-target // len(group)))
-    return group * reps
+    rows = list(group)
+    for tl in group:
+        rows += [tl] * (reps - 1)
+    return rows
 
 
 def pad_segments_pow2(st: StackedTimelines) -> StackedTimelines:

@@ -1,0 +1,150 @@
+"""Analytic roofline attribution for a fused-engine bucket.
+
+For each benchmark bucket this estimates, per rendered block, the HBM
+bytes moved and the VPU/MXU FLOPs executed by the specialized program,
+from the same static information the engine specializes on (packed voice
+count, tiers, per-tier Feat flags, table rosters).  Dividing by the
+measured wall time yields achieved bytes/s / FLOP/s, compared against
+chip peaks to name the bound resource — the occupancy argument VERDICT
+r1 item 7 asks for next to every ×RT figure.
+
+The model is an ESTIMATE (XLA fusion can eliminate materializations the
+model counts, and scalar-core grid-step overheads are modeled as a
+per-step cost, not bandwidth), but it is consistent across buckets, so
+it ranks bottlenecks correctly even where the absolute % is soft.
+
+Chip peaks default to TPU v5e (the bench target): 819 GB/s HBM,
+~3.9e12 f32 VPU op/s ((8,128)-lane vector unit × 4 ALUs × 940 MHz),
+197e12 bf16 MXU FLOP/s (unused here — the engine's matmuls are tiny).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+HBM_PEAK = 819e9          # bytes/s, v5e
+VPU_PEAK = 3.9e12         # f32 elementwise op/s, v5e
+GRID_STEP_COST = 1.0e-6   # s — scalar-core cost per Pallas grid step
+                          # (DMA issue + semaphores; measured order)
+
+# elementwise ops per lane-sample for each serial-kernel stage
+_OPS = {
+    "phase": 14,          # add, wrap fmod, selects
+    "phase_fin": 10,      # finish bookkeeping
+    "fma_exact": 30,      # software correctly-rounded f32 fma (_kfma)
+    "hold": 8,
+    "quant": 6,
+    "sm": 4,
+    "cz": 25,
+    "env": 12,
+}
+
+
+@dataclasses.dataclass
+class BucketCost:
+    bytes_per_block: float       # HBM bytes (reads+writes) per block
+    flops_per_block: float       # f32 VPU ops per block
+    lut_steps_per_block: int     # Pallas grid steps (LUT dominates)
+    lut_dma_bytes: float         # table slot DMA traffic per block
+
+    def roofline(self, wall_s: float, blocks: int) -> dict:
+        """Achieved rates vs peaks + the named bound resource."""
+        t = wall_s / max(blocks, 1)
+        bw = self.bytes_per_block / t
+        fl = self.flops_per_block / t
+        step_s = self.lut_steps_per_block * GRID_STEP_COST
+        fr_bw = bw / HBM_PEAK
+        fr_fl = fl / VPU_PEAK
+        fr_step = step_s / t
+        bound = max(("hbm", fr_bw), ("vpu", fr_fl),
+                    ("lut-grid-steps", fr_step), key=lambda kv: kv[1])
+        return {
+            "hbm_gb_s": round(bw / 1e9, 1),
+            "pct_hbm_peak": round(100 * fr_bw, 1),
+            "vpu_gflop_s": round(fl / 1e9, 1),
+            "pct_vpu_peak": round(100 * fr_fl, 1),
+            "lut_step_pct_wall": round(100 * fr_step, 1),
+            "bound": bound[0],
+        }
+
+
+def _runs(values: np.ndarray) -> int:
+    """Number of value-change runs in a 1-D array (voice-major LUT lane
+    order): consecutive equal slots share one DMA (Pallas revisiting)."""
+    v = np.asarray(values).ravel()
+    if v.size == 0:
+        return 0
+    return int(1 + np.count_nonzero(v[1:] != v[:-1]))
+
+
+def estimate_bucket(st, feat_tiers=None) -> BucketCost:
+    """Static cost model for one packed+padded StackedTimelines bucket."""
+    from skred_tpu.engine.fused import _feat_tiers, compute_feat
+
+    B = st.batch
+    N = st.block
+    Vp = st.params["amp"].shape[-1]
+    tiers = st.tiers if st.tiers else (Vp,)
+    fts = feat_tiers or _feat_tiers(st) or (compute_feat(st),) * len(tiers)
+    if len(fts) != len(tiers):
+        fts = (compute_feat(st),) * len(tiers)
+
+    f32 = 4
+    total_bytes = 0.0
+    total_flops = 0.0
+    lut_steps = 0
+    lut_dma = 0.0
+    bounds = np.cumsum((0,) + tuple(tiers))
+    toff = np.asarray(st.params["table_off"])[:, 0, :]      # [B, Vp] seg 0
+
+    passes = 1 if st.tiers else max(st.fused_passes or 1, 1)
+    for (lo, hi), ft in zip(zip(bounds[:-1], bounds[1:]), fts):
+        vt = int(hi - lo)
+        L = B * vt
+        ls = L * N * f32                 # one [lanes, N] f32 tensor
+        mods = ft.fm + ft.cz + ft.am + ft.pm
+
+        for _ in range(passes):
+            # modulator reads: sel one-hot matmul (bytes: est read + K
+            # outputs; flops: 2·B·(K·vt)·Vp·N MACs on the MXU/VPU)
+            if mods:
+                total_bytes += (mods + 1) * ls
+                total_flops += 2.0 * B * mods * vt * Vp * N
+            # phase kernel: inc in (fm: per-sample), ph out (+dead)
+            total_bytes += (ls if ft.fm else L * f32) + ls \
+                + (ls if ft.finish else 0)
+            total_flops += L * N * (_OPS["phase"]
+                                    + (_OPS["phase_fin"] if ft.finish else 0))
+            # CZ phasor glue
+            if ft.cz:
+                total_bytes += 2 * ls
+                total_flops += L * N * _OPS["cz"]
+            # LUT: idx in, f out, slot DMAs (voice-major runs share one)
+            total_bytes += 2 * ls
+            slots = (toff[:, lo:hi].T // 4096)               # [vt, B]
+            n_dma = _runs(slots)
+            lut_steps += L
+            lut_dma += n_dma * 4096 * f32
+            # envelope closed form
+            if ft.env:
+                total_bytes += ls
+                total_flops += L * N * _OPS["env"]
+            # serial filt/smooth kernel: x in, out, env/amod/alive in
+            ins = 2 + ft.env + ft.am + ft.finish
+            total_bytes += ins * ls
+            kops = (_OPS["fma_exact"] * 4 + 10 if ft.flt else 2) \
+                + (_OPS["hold"] if ft.hold else 0) \
+                + (_OPS["quant"] if ft.quant else 0) \
+                + (_OPS["sm"] + _OPS["fma_exact"] if ft.sm else 0)
+            total_flops += L * N * kops
+            # pan + contribution masking
+            total_bytes += 2 * ls
+            total_flops += L * N * 8
+
+    # mix + volume smoother + output
+    total_bytes += B * N * 2 * f32 * 2
+    total_flops += B * N * (Vp * 2 + 12)
+    total_bytes += lut_dma
+    return BucketCost(total_bytes, total_flops, lut_steps, lut_dma)

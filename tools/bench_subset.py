@@ -86,12 +86,16 @@ def main() -> None:
         total_audio += audio
         total_wall += wall
         fstr = ",".join(k_ for k_, v in feat._asdict().items() if v)
+        from skred_tpu.parallel.roofline import estimate_bucket
+
+        roof = estimate_bucket(st).roofline(wall, whole * CHUNK)
         print(json.dumps({"voices": int(vp), "passes": int(passes),
                           "feat": fstr, "rows": len(group),
                           "scripts": names[key], "tiers": st.tiers,
                           "compile_s": round(t_compile, 1),
                           "wall_s": round(wall, 3),
-                          "x_rt": round(audio / wall, 1)}), flush=True)
+                          "x_rt": round(audio / wall, 1),
+                          "roofline": roof}), flush=True)
     if total_wall:
         print(f"# subset total: {total_audio / total_wall:.1f} x_rt "
               f"({total_wall:.2f}s wall)")
