@@ -96,6 +96,16 @@ def main() -> None:
         # scripts nearly double their throughput from 256 to 1024 rows)
         group = fill_bucket(group, vp, REPLICAS)
         st = pack_stacked(stack_timelines(group))
+        # fill (don't silently pad) up to the Pallas lane quantum: the
+        # device renders the padded batch either way — e.g. a (10,1)-tier
+        # bucket pads 256 -> 512 rows — so credit rows that are real work
+        from skred_tpu.engine.fused import _pad_quantum
+
+        per = _pad_quantum(st, st.params["amp"].shape[-1])
+        pad_b = (-len(group)) % max(per, 1)
+        if pad_b:
+            group = group + [group[-1]] * pad_b
+            st = pack_stacked(stack_timelines(group))
         st = pad_segments_pow2(st)
         render_fused_stream_device(st, CHUNK, warmup_only=True)  # compile
         # best-of-2: the remote-tunnel device occasionally stalls mid-run;

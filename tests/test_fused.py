@@ -106,6 +106,34 @@ def test_table_lookup_kernel_interpret():
     assert np.all(out2 == 0.0)
 
 
+def test_table_lookup_grouped_interpret():
+    """Grouped LUT kernel (manual DMA + persistent slot-skip register)
+    must match the per-lane kernel and the direct numpy lookup, including
+    ragged lane counts (internal LUT_GROUP padding) and runs of equal
+    slots (the DMA-skip path)."""
+    import jax.numpy as jnp
+
+    from skred_tpu.engine import kernels
+
+    rng = np.random.RandomState(11)
+    n_slots = 6
+    buf = rng.randn(n_slots * 4096).astype(np.float32)
+    for m in (24, 37, 64):              # non-multiples of LUT_GROUP too
+        slot = rng.randint(0, n_slots, m).astype(np.int32)
+        slot[m // 3: 2 * m // 3] = 3    # a run of equal slots (skip path)
+        idx = rng.randint(0, 4096, (m, 512)).astype(np.int32)
+        old = kernels.INTERPRET
+        kernels.INTERPRET = True
+        try:
+            out = np.asarray(kernels.table_lookup_grouped(
+                jnp.asarray(buf).reshape(-1, 32, 128), jnp.asarray(slot),
+                jnp.asarray(idx)))
+        finally:
+            kernels.INTERPRET = old
+        want = buf[slot[:, None] * 4096 + idx]
+        assert np.array_equal(out, want), m
+
+
 def test_pallas_lut_single_tier_deep_read(reference_dir, session_bank):
     """Single-tier (no-modulation) scripts binding medium/big PCM tables
     must route through the per-tier rosters; a broken roster key silently

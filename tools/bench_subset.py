@@ -72,6 +72,13 @@ def main() -> None:
         vp, passes, feat = key
         group = fill_bucket(group, vp, REPLICAS)
         st = pack_stacked(stack_timelines(group))
+        from skred_tpu.engine.fused import _pad_quantum
+
+        per = _pad_quantum(st, st.params["amp"].shape[-1])
+        pad_b = (-len(group)) % max(per, 1)
+        if pad_b:
+            group = group + [group[-1]] * pad_b
+            st = pack_stacked(stack_timelines(group))
         st = pad_segments_pow2(st)
         t0 = time.time()
         render_fused_stream_device(st, CHUNK, warmup_only=True)
