@@ -52,7 +52,8 @@ def main():
     orig_compute_feat = F.compute_feat
 
     def run(label, feat, stx):
-        F.compute_feat = lambda _st: feat
+        # the override must also serve per-tier calls (lanes kwarg)
+        F.compute_feat = lambda _st, lanes=None: feat
         F.render_fused_stream_device(stx, CHUNK, warmup_only=True)
         best = float("inf")
         for _ in range(2):
