@@ -44,6 +44,9 @@ def mint(script: str, seconds: float, extra=()) -> np.ndarray:
 FUSED = "--fused" in sys.argv
 if FUSED:
     sys.argv.remove("--fused")
+FAST = "--fast" in sys.argv      # fused engine with exact=False (plain
+if FAST:                         # mul+add at the gcc-contracted sites)
+    sys.argv.remove("--fast")
 
 
 def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
@@ -60,7 +63,8 @@ def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
         from skred_tpu.engine.fused import render_fused
         from skred_tpu.parallel.batch import stack_timelines
 
-        out = render_fused(stack_timelines([tl]))[0]
+        out = render_fused(stack_timelines([tl]),
+                           exact=(False if FAST else None))[0]
     else:
         out = render_timeline(tl)
     t_render = time.time() - t0
