@@ -61,14 +61,16 @@ def _kfma(a, b, c):
 LANES = 512          # lanes per grid step (4 VPU registers wide)
 
 
-def _make_phase_kernel(fm: bool, finish: bool):
+def _make_phase_kernel(fm: bool, finish: bool, unroll: int = 1):
     """Specialized phase-walk kernel (reference: osc_next synth.c:217-258).
 
     fm: per-sample increments ([N, M]) vs one per-voice increment ([1, M],
     the no-frequency-modulation case — inc is constant within a block).
     finish: one-shot voices exist, so the finished flag can flip mid-block
     and per-sample dead masks must be emitted; without it the loop body
-    drops the entire finish/dead bookkeeping."""
+    drops the entire finish/dead bookkeeping.
+    unroll: samples advanced per fori iteration — the serial recurrence is
+    bounded by per-iteration scalar overhead, not vector work."""
 
     def kernel(*refs):
         it = iter(refs)
@@ -138,8 +140,19 @@ def _make_phase_kernel(fm: bool, finish: bool):
 
         fin0 = fin0_ref[0, :] if finish else jnp.zeros_like(phase0_ref[0, :],
                                                             dtype=I32)
-        ph_e, fin_e = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n), body, (phase0_ref[0, :], fin0))
+        init = (phase0_ref[0, :], fin0)
+        if unroll == 1:
+            ph_e, fin_e = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n),
+                                            body, init)
+        else:
+            def bodyu(q, c):
+                t0 = q * jnp.int32(unroll)
+                for u in range(unroll):
+                    c = body(t0 + jnp.int32(u), c)
+                return c
+
+            ph_e, fin_e = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n // unroll), bodyu, init)
         phase_end_ref[0, :] = ph_e
         if finish:
             fin_end_ref[0, :] = fin_e
@@ -147,11 +160,40 @@ def _make_phase_kernel(fm: bool, finish: bool):
     return kernel
 
 
-_PHASE_KERNELS = {(fm, fin): _make_phase_kernel(fm, fin)
+@functools.lru_cache(maxsize=None)
+def _phase_kernel_for(fm, finish, unroll=1):
+    return _make_phase_kernel(fm, finish, unroll)
+
+
+_PHASE_KERNELS = {(fm, fin): _phase_kernel_for(fm, fin)
                   for fm in (False, True) for fin in (False, True)}
 
 
 INTERPRET = False    # set True to run kernels in interpreter mode (tests)
+
+
+def _lane_specs(m, n):
+    """Block/reshape helpers for the serial kernels' lane axis.
+
+    3-D [*, m//128, 128] blocks with 8 sublane rows per grid step make
+    each fori step one full (8,128) vreg (vs a (1, LANES) row at 1/8
+    sublane utilization); used whenever m divides 8*128.  Returns
+    (grid, seq_spec, vec_spec, wrap_seq, wrap_vec, unwrap)."""
+    if m % (8 * 128) == 0:
+        r = m // 128
+        seq = pl.BlockSpec((n, 8, 128), lambda i: (i * 0, i, i * 0))
+        vec = pl.BlockSpec((1, 8, 128), lambda i: (i * 0, i, i * 0))
+        return ((m // 1024,), seq, vec,
+                lambda a: a.reshape(a.shape[0], r, 128),
+                lambda a: a.reshape(1, r, 128),
+                lambda a: a.reshape(a.shape[0], m))
+    assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
+    seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
+    vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
+    return ((m // LANES,), seq, vec, lambda a: a, lambda a: a, lambda a: a)
+
+
+UNROLL = 4           # serial-kernel samples per fori iteration
 
 
 @functools.partial(jax.jit, static_argnames=("fm", "finish", "n"))
@@ -162,62 +204,64 @@ def phase_walk_pallas(inc, phase0, fin0, lo, hi, L, osn, one_shot, adv, act,
     (ph [N, M], dead [N, M] i32 or None, phase_end [M],
     fin_end [M] or None)."""
     m = inc.shape[-1]
-    assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
-    grid = (m // LANES,)
-    vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
     if fm:
         n = inc.shape[0]
-        seq_in = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
-        inc_in = inc
     else:
         assert n is not None, "constant-inc phase walk needs static n"
-        seq_in = vec
-        inc_in = inc[None, :]
-    seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
+    grid, seq, vec, wseq, wvec, unwrap = _lane_specs(m, n)
+    unroll = UNROLL if n % UNROLL == 0 else 1
 
-    ins = [inc_in, phase0[None, :]]
-    in_specs = [seq_in, vec]
+    ins = [wseq(inc) if fm else wvec(inc[None, :]), wvec(phase0[None, :])]
+    in_specs = [seq if fm else vec, vec]
     if finish:
-        ins += [fin0[None, :]]
+        ins += [wvec(fin0[None, :])]
         in_specs += [vec]
-    ins += [lo[None, :], hi[None, :], L[None, :]]
+    ins += [wvec(lo[None, :]), wvec(hi[None, :]), wvec(L[None, :])]
     in_specs += [vec, vec, vec]
     if finish:
-        ins += [osn[None, :], one_shot[None, :]]
+        ins += [wvec(osn[None, :]), wvec(one_shot[None, :])]
         in_specs += [vec, vec]
-    ins += [adv[None, :]]
+    ins += [wvec(adv[None, :])]
     in_specs += [vec]
     if finish:
-        ins += [act[None, :]]
+        ins += [wvec(act[None, :])]
         in_specs += [vec]
 
+    lane_dims = ins[1].shape[1:]
+    sds = lambda nn, dt: jax.ShapeDtypeStruct((nn,) + lane_dims, dt)
     out_specs = [seq]
-    out_shape = [jax.ShapeDtypeStruct((n, m), jnp.float32)]
+    out_shape = [sds(n, jnp.float32)]
     if finish:
         out_specs += [seq]
-        out_shape += [jax.ShapeDtypeStruct((n, m), jnp.int32)]
+        out_shape += [sds(n, jnp.int32)]
     out_specs += [vec]
-    out_shape += [jax.ShapeDtypeStruct((1, m), jnp.float32)]
+    out_shape += [sds(1, jnp.float32)]
     if finish:
         out_specs += [vec]
-        out_shape += [jax.ShapeDtypeStruct((1, m), jnp.int32)]
+        out_shape += [sds(1, jnp.int32)]
 
     out = pl.pallas_call(
-        _PHASE_KERNELS[(bool(fm), bool(finish))],
+        _phase_kernel_for(bool(fm), bool(finish), unroll),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        # the 3-D (8,128)-lane blocks double per-block VMEM vs the 2-D
+        # path; the default 16 MB scoped limit overflows once the
+        # pipeline double-buffers — plenty of headroom on 128 MB chips
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=INTERPRET,
     )(*ins)
     if finish:
         ph, dead, ph_end, fin_end = out
-        return ph, dead, ph_end[0], fin_end[0]
+        return (unwrap(ph), unwrap(dead), unwrap(ph_end)[0],
+                unwrap(fin_end)[0])
     ph, ph_end = out
-    return ph, None, ph_end[0], None
+    return unwrap(ph), None, unwrap(ph_end)[0], None
 
 
-def _make_fs_kernel(exact, feat):
+def _make_fs_kernel(exact, feat, unroll: int = 1):
     """Specialized S&H + quantizer + biquad + smoother serial kernel.
 
     ``feat`` is an FsFeat: flags for which DSP stages exist anywhere in the
@@ -332,8 +376,18 @@ def _make_fs_kernel(exact, feat):
                 y1_in if flt else zero_f, y2_in if flt else zero_f,
                 sg_in if sm else zero_f,
                 hc_in if hold else zero_i, hv_in if hold else zero_f)
-        x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n), body, init)
+        if unroll == 1:
+            x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n), body, init)
+        else:
+            def bodyu(q, c):
+                t0 = q * jnp.int32(unroll)
+                for u in range(unroll):
+                    c = body(t0 + jnp.int32(u), c)
+                return c
+
+            x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n // unroll), bodyu, init)
         if flt:
             x1o[0, :] = x1
             x2o[0, :] = x2
@@ -349,8 +403,8 @@ def _make_fs_kernel(exact, feat):
 
 
 @functools.lru_cache(maxsize=None)
-def _fs_kernel_for(exact, feat):
-    return _make_fs_kernel(exact, feat)
+def _fs_kernel_for(exact, feat, unroll=1):
+    return _make_fs_kernel(exact, feat, unroll)
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "feat"))
@@ -367,32 +421,30 @@ def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
     (samples [N, M], x1, x2, y1, y2, sg, hold_count, hold_val) — state
     outputs for disabled stages are passed through unchanged."""
     n, m = x.shape
-    assert m % LANES == 0, f"lanes {m} not a multiple of {LANES} (pad batch)"
     if feat is None:
         feat = (True, True, True, True, True, True, True, True)
     flt, sm, hold, quant, am_self_f, env_a, am_a, alive_a = feat
-    grid = (m // LANES,)
-    seq = pl.BlockSpec((n, LANES), lambda i: (i * 0, i))
-    vec = pl.BlockSpec((1, LANES), lambda i: (i * 0, i))
+    grid, seq, vec, wseq, wvec, unwrap = _lane_specs(m, n)
+    unroll = UNROLL if n % UNROLL == 0 else 1
 
-    ins = [x]
+    ins = [wseq(x)]
     in_specs = [seq]
     if alive_a:
-        ins.append(alive)
+        ins.append(wseq(alive))
         in_specs.append(seq)
     else:
-        ins.append(alive[None, :])
+        ins.append(wvec(alive[None, :]))
         in_specs.append(vec)
     if env_a:
-        ins.append(env)
+        ins.append(wseq(env))
         in_specs.append(seq)
     if am_a:
-        ins.append(amod)
+        ins.append(wseq(amod))
         in_specs.append(seq)
 
     def add_vec(*arrs):
         for a in arrs:
-            ins.append(a[None, :])
+            ins.append(wvec(a[None, :]))
             in_specs.append(vec)
 
     add_vec(amp)
@@ -413,31 +465,35 @@ def filt_smooth_pallas(x, env, amod, alive, b0, b1, b2, na1, na2,
     if hold:
         add_vec(hc, hv)
 
+    lane_dims = ins[-1].shape[1:]
+    sds = lambda nn, dt: jax.ShapeDtypeStruct((nn,) + lane_dims, dt)
     out_specs = [seq]
-    out_shape = [jax.ShapeDtypeStruct((n, m), jnp.float32)]
+    out_shape = [sds(n, jnp.float32)]
     n_state_f = (4 if flt else 0) + (1 if sm else 0)
     for _ in range(n_state_f):
         out_specs.append(vec)
-        out_shape.append(jax.ShapeDtypeStruct((1, m), jnp.float32))
+        out_shape.append(sds(1, jnp.float32))
     if hold:
         out_specs += [vec, vec]
-        out_shape += [jax.ShapeDtypeStruct((1, m), jnp.int32),
-                      jax.ShapeDtypeStruct((1, m), jnp.float32)]
+        out_shape += [sds(1, jnp.int32), sds(1, jnp.float32)]
 
     outs = pl.pallas_call(
-        _fs_kernel_for(bool(exact), feat),
+        _fs_kernel_for(bool(exact), feat, unroll),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        # see phase_walk_pallas: 3-D lane blocks need > 16 MB scoped VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=INTERPRET,
     )(*ins)
-    samples = outs[0]
-    it = iter(outs[1:])
-    nx1, nx2, ny1, ny2 = (next(it)[0], next(it)[0], next(it)[0],
-                          next(it)[0]) if flt else (x1, x2, y1, y2)
-    nsg = next(it)[0] if sm else sg
-    nhc, nhv = (next(it)[0], next(it)[0]) if hold else (hc, hv)
+    samples = unwrap(outs[0])
+    it = iter(unwrap(o)[0] for o in outs[1:])
+    nx1, nx2, ny1, ny2 = (next(it), next(it), next(it),
+                          next(it)) if flt else (x1, x2, y1, y2)
+    nsg = next(it) if sm else sg
+    nhc, nhv = (next(it), next(it)) if hold else (hc, hv)
     return samples, nx1, nx2, ny1, ny2, nsg, nhc, nhv
 
 

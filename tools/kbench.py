@@ -193,6 +193,99 @@ def table_lookup_v3(table3, slot, idx, slot_size=4096, G=64):
     return out.reshape(m, n)
 
 
+# ------------------------------------------------- prefetch-window LUT v4
+def _make_lut_v4(slot_rows, G, r):
+    """Windowed uniform-slot LUT: per-group slot + [hmin, hmax] row window
+    arrive as prefetched scalars (computed by XLA reductions outside the
+    kernel — in-kernel vector→scalar reductions of v3 cost ~10 µs/step in
+    pipeline stalls).  Rows outside the window are pl.when-skipped; the
+    gather runs vectorized over the whole (G·r, 128) block."""
+    GR = G * r
+
+    def kernel(slotg_ref, wmin_ref, wmax_ref, tab_ref, idx_ref, out_ref,
+               scratch, acc, cur, sem):
+        p = pl.program_id(0)
+
+        @pl.when(p == 0)
+        def _init():
+            cur[0] = jnp.int32(-1)
+
+        s = slotg_ref[p]
+
+        @pl.when(s != cur[0])
+        def _fetch():
+            cp = pltpu.make_async_copy(tab_ref.at[s], scratch, sem)
+            cp.start()
+            cp.wait()
+            cur[0] = s
+
+        i = idx_ref[0].reshape(GR, 128)
+        hi = jax.lax.shift_right_logical(i, jnp.int32(7))
+        lo = jax.lax.bitwise_and(i, jnp.int32(127))
+        hmin = wmin_ref[p]
+        hmax = wmax_ref[p]
+        acc[...] = jnp.zeros((GR, 128), jnp.float32)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+        for c in range(slot_rows):
+            @pl.when((hmin <= c) & (c <= hmax))
+            def _row(c=c):
+                bc = jnp.broadcast_to(scratch[c:c + 1, :], (GR, 128))
+                g = jax.lax.gather(
+                    bc, lo[..., None], dnums, slice_sizes=(1, 1),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                acc[...] = jnp.where(hi == c, g, acc[...])
+        out_ref[0] = acc[...].reshape(G, r, 128)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _lut_v4_for(slot_rows, G, r):
+    return _make_lut_v4(slot_rows, G, r)
+
+
+def table_lookup_v4(table3, slot, idx, slot_size=4096, G=64):
+    m, n = idx.shape
+    r = n // 128
+    rows = slot_size // 128
+    assert m % G == 0
+    idx4 = idx.reshape(m // G, G, r, 128)
+    slot_g = slot[::G].astype(jnp.int32)
+    hi_g = jax.lax.shift_right_logical(
+        idx4.reshape(m // G, -1), jnp.int32(7))
+    wmin = jnp.min(hi_g, axis=1).astype(jnp.int32)
+    wmax = jnp.minimum(jnp.max(hi_g, axis=1),
+                       jnp.int32(rows - 1)).astype(jnp.int32)
+    out = pl.pallas_call(
+        _lut_v4_for(rows, G, r),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(m // G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec((1, G, r, 128),
+                             lambda p, s, w1, w2: (p, p * 0, p * 0, p * 0)),
+            ],
+            out_specs=pl.BlockSpec((1, G, r, 128),
+                                   lambda p, s, w1, w2: (p, p * 0, p * 0,
+                                                         p * 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((G * r, 128), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m // G, G, r, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=K.INTERPRET,
+    )(slot_g, wmin, wmax, table3, idx4)
+    return out.reshape(m, n)
+
+
 # ------------------------------------------------------------------ data
 rng = np.random.default_rng(0)
 
@@ -287,31 +380,36 @@ def main():
         b = phase3d_scan(pd)
         err = max(float(jnp.max(jnp.abs(a[0] - b[0]))),
                   float(jnp.max(jnp.abs(a[1] - b[1]))))
-        print(f"phase 3d vs 2d max err: {err:.3e}")
+        print(f"phase prod vs 3d-proto max err: {err:.3e}")
     else:
-        bench("phase 2d (LANES=512)", phase2d_scan, pd)
-        bench("phase 3d (8x128)", phase3d_scan, pd)
+        bench(f"phase prod (U={K.UNROLL})", phase2d_scan, pd)
+        bench("phase 3d-proto (U=1)", phase3d_scan, pd)
 
     # --- fs 2d vs 3d ---
-    def fs2d_call(d, x, st):
+    def fs2d_call(d, x, st, exact=True):
         return K.filt_smooth_pallas(
             x, d["env"], None, d["alive"], d["b0"], d["b1"], d["b2"],
             d["na1"], d["na2"], d["use_flt"], d["use_sm"], d["amp"],
             d["smoothing"], None, None, None, None, None, None, None,
             st[0], st[1], st[2], st[3], st[4], None, None,
-            exact=True, feat=FSFEAT)
+            exact=exact, feat=FSFEAT)
 
-    @jax.jit
-    def fs2d_scan(d):
-        def step(c, _):
-            x, st = c
-            outs = fs2d_call(d, x, st)
-            return (outs[0], (outs[1], outs[2], outs[3], outs[4], outs[5])), \
-                jnp.sum(outs[0][0])
-        (x, st), sums = jax.lax.scan(
-            step, (d["x"], (d["x1"], d["x2"], d["y1"], d["y2"], d["sg"])),
-            None, length=REPS)
-        return st, sums
+    def make_fs_scan(exact):
+        @jax.jit
+        def fs2d_scan(d):
+            def step(c, _):
+                x, st = c
+                outs = fs2d_call(d, x, st, exact)
+                return (outs[0], (outs[1], outs[2], outs[3], outs[4],
+                                  outs[5])), jnp.sum(outs[0][0])
+            (x, st), sums = jax.lax.scan(
+                step, (d["x"], (d["x1"], d["x2"], d["y1"], d["y2"],
+                                d["sg"])), None, length=REPS)
+            return st, sums
+        return fs2d_scan
+
+    fs2d_scan = make_fs_scan(True)
+    fs2d_fast = make_fs_scan(False)
 
     @jax.jit
     def fs3d_scan(d):
@@ -333,10 +431,11 @@ def main():
         err = max(float(jnp.max(jnp.abs(x - y)))
                   for x, y in zip(jax.tree_util.tree_leaves(a),
                                   jax.tree_util.tree_leaves(b)))
-        print(f"fs 3d vs 2d max err: {err:.3e}")
+        print(f"fs prod vs 3d-proto max err: {err:.3e}")
     else:
-        bench("fs 2d (LANES=512)", fs2d_scan, fd)
-        bench("fs 3d (8x128)", fs3d_scan, fd)
+        bench(f"fs prod exact (U={K.UNROLL})", fs2d_scan, fd)
+        bench(f"fs prod fast (U={K.UNROLL})", fs2d_fast, fd)
+        bench("fs 3d-proto (U=1)", fs3d_scan, fd)
 
     # --- LUT grouped (G=16) vs v3 windowed ---
     @jax.jit
@@ -349,9 +448,9 @@ def main():
         return i, sums
 
     @jax.jit
-    def lut_v3_scan(t, s, i0):
+    def lut_v4_scan(t, s, i0):
         def step(i, _):
-            f = table_lookup_v3(t, s, i)
+            f = table_lookup_v4(t, s, i)
             i2 = jnp.clip((i + f.astype(I32) + 1) % 4096, 0, 4095)
             return i2, jnp.sum(f[0])
         i, sums = jax.lax.scan(step, i0, None, length=REPS)
@@ -359,13 +458,13 @@ def main():
 
     if CHECK:
         a = lut_g16_scan(tab, slot, idxs)
-        b = lut_v3_scan(tab, slot, idxs)
+        b = lut_v4_scan(tab, slot, idxs)
         err = max(float(jnp.max(jnp.abs(a[0] - b[0]))),
                   float(jnp.max(jnp.abs(a[1] - b[1]))))
-        print(f"lut v3 vs grouped max err: {err:.3e}")
+        print(f"lut v4 vs grouped max err: {err:.3e}")
     else:
         bench("lut grouped (G=16)", lut_g16_scan, tab, slot, idxs)
-        bench("lut v3 windowed (G=64)", lut_v3_scan, tab, slot, idxs)
+        bench("lut v4 prefetch-win G=64", lut_v4_scan, tab, slot, idxs)
 
 
 if __name__ == "__main__":
