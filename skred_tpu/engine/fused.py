@@ -297,8 +297,6 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         read_specs.append(("cz", p["cz_mod_osc"], p["cm_delayed"]))
     if feat.am:
         read_specs.append(("am", p["amp_mod_osc"], p["am_delayed"]))
-    if feat.pm:
-        read_specs.append(("pm", p["pan_mod_osc"], p["pm_delayed"]))
     if read_specs:
         reads = dict(zip(
             (name for name, _, _ in read_specs),
@@ -659,44 +657,30 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         new_x1, new_x2, new_y1, new_y2 = nx1, nx2, ny1, ny2
         new_smoother = nsg
 
-    # ---- pan ----
-    if feat.pm:
-        pm = p["pan_mod_osc"]
-        pm_read = reads["pm"]
-        if feat.pm_self:
-            pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples,
-                                pm_read)
-        qv = pm_read * p["pan_mod_depth"][..., None]
-        pan_mod_on = (pm >= 0) & (p["disconnect"] == 0)
-        pl = jnp.where(pan_mod_on[..., None], (F32(1.0) - qv) * F32(0.5),
-                       carry["pan_l"][..., None])
-        pr = jnp.where(pan_mod_on[..., None], (F32(1.0) + qv) * F32(0.5),
-                       carry["pan_r"][..., None])
-        act_pan = pan_mod_on & any_alive
-        new_pan_l = jnp.where(act_pan, at_last(pl), carry["pan_l"])
-        new_pan_r = jnp.where(act_pan, at_last(pr), carry["pan_r"])
-    else:
-        pl = carry["pan_l"][..., None]
-        pr = carry["pan_r"][..., None]
-        new_pan_l = carry["pan_l"]
-        new_pan_r = carry["pan_r"]
-
+    # ---- contribution mask ----
+    # Pan + mix are applied by the CALLER over all lanes at once: pan
+    # only scales a voice's contribution to the stereo mix
+    # (synth.c:630-641), it never feeds sample generation, so it needs
+    # neither in-pass state nor tier ordering — pan-mod edges are
+    # excluded from the tier DAG (parallel/batch.py _union_depths) and
+    # the trailing pm-only tiers they used to force disappear.
     if feat.disc:
         nodisc = p["disconnect"] == 0
         contrib = (alive & nodisc[..., None]) if feat.finish \
             else (active0 & nodisc)[..., None]
     else:
         contrib = alive if feat.finish else active0[..., None]
-    left = jnp.where(contrib, samples * pl, F32(0.0))
-    right = jnp.where(contrib, samples * pr, F32(0.0))
+    # last-alive index per lane: the caller's pan-carry update takes the
+    # pan sequence at this index (N-1 when no one-shot voice dies)
+    il_out = il if feat.finish else jnp.full_like(cnt, N_ - 1)
 
     new_carry = dict(
         phase=new_phase, finished=new_finished, sample=samples[..., -1],
         hold_count=new_hold_count, hold_val=new_hold_val,
         x1=new_x1, x2=new_x2, y1=new_y1, y2=new_y2,
-        smoother=new_smoother, pan_l=new_pan_l, pan_r=new_pan_r,
+        smoother=new_smoother, pan_l=carry["pan_l"], pan_r=carry["pan_r"],
     )
-    return samples, left, right, new_carry
+    return samples, contrib, (any_alive, il_out), new_carry
 
 
 def _apply_ops_b(carry, ops, flag, feat=Feat()):
@@ -791,7 +775,9 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 use_pallas, n_src=0, feat=Feat(), tiers=None,
                 feat_tiers=None):
     B, _, Vp = params["amp"].shape
-    any_mod = feat.fm or feat.cz or feat.am or feat.pm
+    # pan-mod does not feed sample generation (pan is applied globally
+    # after all tiers), so pm alone needs no modulator estimates
+    any_mod = feat.fm or feat.cz or feat.am
     _CK = ("phase", "finished", "sample", "hold_count", "hold_val",
            "x1", "x2", "y1", "y2", "smoother", "pan_l", "pan_r")
     p_groups, p_stacked, p_rest = _pack_by_dtype(params, Vp)
@@ -830,7 +816,8 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             bounds = [0]
             for t in tiers:
                 bounds.append(bounds[-1] + t)
-            s_parts, l_parts, r_parts = [], [], []
+            s_parts, cb_parts = [], []
+            aa_parts, il_parts = [], []
             nc_parts = []
             for ti, (ts_, te) in enumerate(zip(bounds[:-1], bounds[1:])):
                 p_t = {kk: (vv[:, ts_:te]
@@ -842,20 +829,23 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 # per-tier static flags: this tier's pass and kernels
                 # carry only the stages its own lanes use
                 ft = feat_tiers[ti] if feat_tiers is not None else feat
-                samples_t, left_t, right_t, nc_t = _voice_block_pass(
+                samples_t, contrib_t, (aa_t, il_t), nc_t = _voice_block_pass(
                     est, c_t, p_t, nblk, counts, table_buffer,
                     exact, use_pallas, ft, N=block, full=full,
                     rk=f"_t{ti}")
-                if ti + 1 < len(tiers):
+                if est is not None and ti + 1 < len(tiers):
                     est = jax.lax.dynamic_update_slice_in_dim(
                         est, samples_t, ts_, axis=1)
                 s_parts.append(samples_t)
-                l_parts.append(left_t)
-                r_parts.append(right_t)
+                # [B, V_t, 1] when the tier has no one-shot voices
+                cb_parts.append(jnp.broadcast_to(contrib_t, samples_t.shape))
+                aa_parts.append(aa_t)
+                il_parts.append(il_t)
                 nc_parts.append(nc_t)
             samples = jnp.concatenate(s_parts, axis=1)
-            left = jnp.concatenate(l_parts, axis=1)
-            right = jnp.concatenate(r_parts, axis=1)
+            contrib = jnp.concatenate(cb_parts, axis=1)
+            any_alive = jnp.concatenate(aa_parts, axis=1)
+            il = jnp.concatenate(il_parts, axis=1)
             new_carry = {kk: jnp.concatenate([nc[kk] for nc in nc_parts],
                                              axis=1) for kk in _CK}
         else:
@@ -883,9 +873,43 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                         est, carry, p, nblk, counts, table_buffer, exact,
                         use_pallas, feat, N=block, rk=rk)
                     est = samples
-            samples, left, right, new_carry = _voice_block_pass(
+            samples, contrib, (any_alive, il), new_carry = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
                 feat, N=block, rk=rk)
+
+        # ---- pan (one pass over ALL lanes: the modulator blocks are the
+        # final samples, exact for every tier/pass layout; serial-order
+        # delay semantics ride the per-lane pm_delayed flags exactly as
+        # the in-pass reads do) ----
+        if feat.pm:
+            pm = p["pan_mod_osc"]
+            pm_read = _read_block(samples, carry["sample"], pm,
+                                  p["pm_delayed"])
+            if feat.pm_self:
+                pm_read = jnp.where((p["pm_self"] != 0)[..., None], samples,
+                                    pm_read)
+            qv = pm_read * p["pan_mod_depth"][..., None]
+            pan_mod_on = (pm >= 0) & (p["disconnect"] == 0)
+            pl = jnp.where(pan_mod_on[..., None],
+                           (F32(1.0) - qv) * F32(0.5),
+                           carry["pan_l"][..., None])
+            pr = jnp.where(pan_mod_on[..., None],
+                           (F32(1.0) + qv) * F32(0.5),
+                           carry["pan_r"][..., None])
+            # pan carry freezes at the last alive sample (the reference
+            # stops updating a finished voice's pan state)
+            oh_last = (il[..., None]
+                       == np.arange(block, dtype=np.int32)).astype(F32)
+            act_pan = pan_mod_on & any_alive
+            new_carry["pan_l"] = jnp.where(
+                act_pan, (pl * oh_last).sum(axis=-1), carry["pan_l"])
+            new_carry["pan_r"] = jnp.where(
+                act_pan, (pr * oh_last).sum(axis=-1), carry["pan_r"])
+        else:
+            pl = carry["pan_l"][..., None]
+            pr = carry["pan_r"][..., None]
+        left = jnp.where(contrib, samples * pl, F32(0.0))
+        right = jnp.where(contrib, samples * pr, F32(0.0))
 
         # ---- mix + volume smoother ----
         mix_l = left.sum(axis=1)                    # [B, N]

@@ -184,8 +184,13 @@ def _fused_passes(e: HostEngine):
         return None
 
 
-def _edges_from_arrays(seg: dict, n: int):
-    """_mod_edges on raw per-segment param arrays (native-compiler path)."""
+def _edges_from_arrays(seg: dict, n: int, include_pan: bool = True):
+    """_mod_edges on raw per-segment param arrays (native-compiler path).
+
+    ``include_pan=False`` drops pan-mod edges: pan only scales a voice's
+    mix contribution (synth.c:630-641), never its samples, so layouts
+    that order voices by value dependency (the fused engine's tiers)
+    ignore them — the fused engine applies pan in one global post-pass."""
     edges = []
     fm = int(seg["freq_mod_osc"][n])
     if fm >= 0 and fm != n and seg["freq_mod_depth"][n] != 0:
@@ -194,7 +199,7 @@ def _edges_from_arrays(seg: dict, n: int):
     if am >= 0 and am != n and seg["amp_mod_depth"][n] != 0:
         edges.append(am)
     pm = int(seg["pan_mod_osc"][n])
-    if pm >= 0 and pm != n and seg["disconnect"][n] == 0 \
+    if include_pan and pm >= 0 and pm != n and seg["disconnect"][n] == 0 \
             and seg["pan_mod_depth"][n] != 0:
         edges.append(pm)
     cm = int(seg["cz_mod_osc"][n])

@@ -263,7 +263,9 @@ def _union_depths(params_b: dict, rel: np.ndarray):
     for s in range(nseg):
         seg = {name: params_b[name][s] for name in _EDGE_FIELDS}
         for v in rel_set:
-            for m in _edges_from_arrays(seg, v):
+            # pan-mod edges don't order the tier layout: pan is applied
+            # globally after all tiers (engine/fused.py block_step)
+            for m in _edges_from_arrays(seg, v, include_pan=False):
                 if m != v:
                     edges[v].add(m)
     depth = {}

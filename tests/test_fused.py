@@ -197,14 +197,14 @@ def test_tier_packing_layout(reference_dir, session_bank):
     vp = st.params["amp"].shape[-1]
     assert sum(st.tiers) == vp
     bounds = np.cumsum((0,) + st.tiers)
-    # every value-carrying mod read of a tier-k voice targets a voice in
-    # an earlier tier
+    # every value-carrying SAMPLE-feeding mod read of a tier-k voice
+    # targets a voice in an earlier tier (pan-mod edges are exempt: pan
+    # is applied globally after all tiers, so the layout ignores them)
     for b in range(st.batch):
         for k in range(len(st.tiers)):
             s, e = bounds[k], bounds[k + 1]
             for name, dep in (("freq_mod_osc", "freq_mod_depth"),
                               ("amp_mod_osc", "amp_mod_depth"),
-                              ("pan_mod_osc", "pan_mod_depth"),
                               ("cz_mod_osc", "cz_mod_depth")):
                 osc = st.params[name][b][:, s:e]
                 depth = st.params[dep][b][:, s:e]
