@@ -136,11 +136,13 @@ class _SeqSim:
                 e.seq_pointer[p] = 0
 
 
-def _mod_edges(e: HostEngine, n: int):
+def _mod_edges(e: HostEngine, n: int, include_pan: bool = True):
     """Modulator reads of voice n whose *value* depends on the modulator
     (synth.c:548-602).  Zero-depth reads are constant (the read happens in
     C but multiplies to zero) and create no dataflow edge — important
-    because cz_mod_osc defaults to 0 for every voice (never reset)."""
+    because cz_mod_osc defaults to 0 for every voice (never reset).
+
+    ``include_pan=False`` drops pan-mod edges (see _edges_from_arrays)."""
     edges = []
     fm = int(e.freq_mod_osc[n])
     if fm >= 0 and fm != n and e.freq_mod_depth[n] != 0:
@@ -149,7 +151,8 @@ def _mod_edges(e: HostEngine, n: int):
     if am >= 0 and am != n and e.amp_mod_depth[n] != 0:
         edges.append(am)
     pm = int(e.pan_mod_osc[n])
-    if pm >= 0 and pm != n and e.disconnect[n] == 0 and e.pan_mod_depth[n] != 0:
+    if include_pan and pm >= 0 and pm != n and e.disconnect[n] == 0 \
+            and e.pan_mod_depth[n] != 0:
         edges.append(pm)
     cm = int(e.cz_mod_osc[n])
     if cm >= 0 and cm != n and e.cz_mode[n] != 0 and e.cz_mod_depth[n] != 0:
@@ -159,9 +162,13 @@ def _mod_edges(e: HostEngine, n: int):
 
 def _fused_passes(e: HostEngine):
     """Block-level fixed-point passes for the fused engine: longest chain
-    over ALL modulation edges (a delayed read still needs the modulator's
-    current block).  None if the graph is cyclic (1-sample feedback loops
-    are not block-parallelizable)."""
+    over the *sample-feeding* modulation edges (a delayed read still needs
+    the modulator's current block).  Pan-mod edges are excluded: the fused
+    engine applies pan in one global post-pass over every voice's final
+    samples (engine/fused.py block_step), so a pan read never forces an
+    extra pass — and a cycle that exists only through pan edges is still
+    fused-renderable.  None if the fm/am/cz graph is cyclic (1-sample
+    feedback loops are not block-parallelizable)."""
     depth = [None] * V
     visiting = [False] * V
 
@@ -172,7 +179,7 @@ def _fused_passes(e: HostEngine):
             raise ValueError("cycle")
         visiting[n] = True
         d = 0
-        for m in _mod_edges(e, n):
+        for m in _mod_edges(e, n, include_pan=False):
             d = max(d, dfs(m) + 1)
         visiting[n] = False
         depth[n] = d
@@ -223,6 +230,8 @@ def _mod_passes_arrays(seg: dict) -> int:
 
 
 def _fused_passes_arrays(seg: dict):
+    """_fused_passes on raw per-segment arrays — pan edges excluded for
+    the same reason (global post-pass pan, engine/fused.py block_step)."""
     depth = [None] * V
     visiting = [False] * V
 
@@ -233,7 +242,7 @@ def _fused_passes_arrays(seg: dict):
             raise ValueError("cycle")
         visiting[n] = True
         d = 0
-        for m in _edges_from_arrays(seg, n):
+        for m in _edges_from_arrays(seg, n, include_pan=False):
             d = max(d, dfs(m) + 1)
         visiting[n] = False
         depth[n] = d
