@@ -139,6 +139,14 @@ def cmd_serve(args) -> int:
     port = srv.start()
     print(f"# skred_tpu serve: UDP wire server on port {port} "
           f"(.render [sec] [out.wav] to flush)")
+    tcp_srv = None
+    if args.tcp_port is not None:
+        from skred_tpu.frontends.tcp import TcpWireServer
+
+        tcp_srv = TcpWireServer(engine, script_dir=pathlib.Path.cwd(),
+                                port=args.tcp_port, on_render=on_render)
+        tport = tcp_srv.start()
+        print(f"# skred_tpu serve: TCP/WebSocket wire server on port {tport}")
     try:
         while True:
             _time.sleep(1.0)
@@ -146,6 +154,8 @@ def cmd_serve(args) -> int:
         pass
     finally:
         srv.stop()
+        if tcp_srv is not None:
+            tcp_srv.stop()
     return 0
 
 
@@ -209,6 +219,9 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("serve", help="UDP wire server (port 60440)")
     s.add_argument("--port", type=int, default=60440)
+    s.add_argument("--tcp-port", type=int, default=None, metavar="PORT",
+                   help="also serve TCP/WebSocket wire clients on PORT "
+                        "(reference tcp_server.c; 0 = ephemeral)")
     s.set_defaults(fn=cmd_serve)
 
     mi = sub.add_parser("midi-in",

@@ -941,19 +941,22 @@ def _feat_tiers(st):
 def _pad_quantum(st, Vp):
     """Batch-padding quantum: every pallas lane group (each tier slice, or
     the n_src prefix / full width in the fallback layout) must flatten to
-    a multiple of LANES lanes."""
+    a multiple of LANE_QUANTUM (8·128) lanes — the serial kernels' full-
+    vreg grid step.  Padding rows are real renders (replicas of the last
+    row), so batch fills credit them; the larger quantum also amortizes
+    the per-block glue, which is op-overhead-bound, over ~2× the audio."""
     from math import gcd
 
-    from skred_tpu.engine.kernels import LANES
+    from skred_tpu.engine.kernels import LANE_QUANTUM as LQ
 
     if st.tiers:
         q = 1
         for t in st.tiers:
-            r = LANES // gcd(LANES, int(t))
+            r = LQ // gcd(LQ, int(t))
             q = q * r // gcd(q, r)
         return q
     vmin = min(Vp, st.n_src) if st.n_src else Vp
-    return LANES // vmin if LANES % vmin == 0 else LANES
+    return LQ // vmin if LQ % vmin == 0 else LQ
 
 
 def render_fused_stream(st, chunk_blocks: int = 256, noise=None,

@@ -172,18 +172,24 @@ _PHASE_KERNELS = {(fm, fin): _phase_kernel_for(fm, fin)
 INTERPRET = False    # set True to run kernels in interpreter mode (tests)
 
 
+LANE_QUANTUM = 8 * 128   # lanes per (8,128)-vreg serial-kernel grid step
+
+
 def _lane_specs(m, n):
     """Block/reshape helpers for the serial kernels' lane axis.
 
     3-D [*, m//128, 128] blocks with 8 sublane rows per grid step make
     each fori step one full (8,128) vreg (vs a (1, LANES) row at 1/8
-    sublane utilization); used whenever m divides 8*128.  Returns
+    sublane utilization); Mosaic requires the sublane block dim be 8 (or
+    the full array), so production batches are padded to a LANE_QUANTUM
+    multiple per tier (fused._pad_quantum).  The 2-D row layout remains
+    for direct kernel calls at smaller lane counts (tests).  Returns
     (grid, seq_spec, vec_spec, wrap_seq, wrap_vec, unwrap)."""
-    if m % (8 * 128) == 0:
+    if m % LANE_QUANTUM == 0:
         r = m // 128
         seq = pl.BlockSpec((n, 8, 128), lambda i: (i * 0, i, i * 0))
         vec = pl.BlockSpec((1, 8, 128), lambda i: (i * 0, i, i * 0))
-        return ((m // 1024,), seq, vec,
+        return ((m // LANE_QUANTUM,), seq, vec,
                 lambda a: a.reshape(a.shape[0], r, 128),
                 lambda a: a.reshape(1, r, 128),
                 lambda a: a.reshape(a.shape[0], m))
@@ -599,27 +605,60 @@ def _make_lut_kernel_grouped(slot_rows, G):
         dnums = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
             operand_batching_dims=(0,), start_indices_batching_dims=(0,))
-        for g in range(G):
-            s = slot_ref[p * G + g]
 
-            @pl.when(s != cur[0])
-            def _fetch(s=s):
-                cp = pltpu.make_async_copy(tab_ref.at[s], scratch, sem)
-                cp.start()
-                cp.wait()
-                cur[0] = s
-
-            i = idx_ref[0, g]                    # [r, 128]
+        def sweep(i):
+            """Masked-row gather sweep, bounded to the 128-entry table
+            rows the indices actually touch: a one-shot PCM voice walks
+            ~N contiguous samples (≈ N/128 + 1 of slot_rows rows), an
+            LFO often sits inside one row — only full-wrap oscillators
+            pay the whole sweep."""
             hi = jax.lax.shift_right_logical(i, jnp.int32(7))
             lo = jax.lax.bitwise_and(i, jnp.int32(127))
-            acc = jnp.zeros(i.shape, jnp.float32)
-            for c in range(slot_rows):
-                bc = jnp.broadcast_to(scratch[c:c + 1, :], i.shape)
+
+            def row(c, acc):
+                bc = jnp.broadcast_to(scratch[pl.ds(c, 1), :], i.shape)
                 gth = jax.lax.gather(
                     bc, lo[..., None], dnums, slice_sizes=(1, 1),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-                acc = jnp.where(hi == c, gth, acc)
-            out_ref[0, g] = acc
+                return jnp.where(hi == c, gth, acc)
+
+            return jax.lax.fori_loop(jnp.min(hi), jnp.max(hi) + jnp.int32(1),
+                                     row, jnp.zeros(i.shape, jnp.float32))
+
+        s0 = slot_ref[p * G]
+        uniform = s0 == s0
+        for g in range(1, G):
+            uniform = jnp.logical_and(uniform, slot_ref[p * G + g] == s0)
+
+        @pl.when(uniform)
+        def _all_one_table():
+            # every lane in the step binds the same table (voice-major
+            # lane order + replicated rows make this the common case):
+            # ONE gather sweep vectorized over all G lanes' blocks
+            # instead of G serial per-lane sweeps
+            @pl.when(s0 != cur[0])
+            def _fetch():
+                cp = pltpu.make_async_copy(tab_ref.at[s0], scratch, sem)
+                cp.start()
+                cp.wait()
+                cur[0] = s0
+
+            out_ref[0] = sweep(idx_ref[0].reshape(-1, 128)) \
+                .reshape(out_ref.shape[1:])
+
+        @pl.when(jnp.logical_not(uniform))
+        def _per_lane():
+            for g in range(G):
+                s = slot_ref[p * G + g]
+
+                @pl.when(s != cur[0])
+                def _fetch(s=s):
+                    cp = pltpu.make_async_copy(tab_ref.at[s], scratch, sem)
+                    cp.start()
+                    cp.wait()
+                    cur[0] = s
+
+                out_ref[0, g] = sweep(idx_ref[0, g])
 
     return kernel
 

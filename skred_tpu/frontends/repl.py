@@ -16,11 +16,37 @@ import pathlib
 HISTORY_FILE = ".skred_tpu_history"
 
 
+# completion vocabulary (bestline offers completion hooks; the reference
+# doesn't populate them, so this is a strict superset of its editor):
+# meta-commands, the /-system commands (wire.c:762-858) and :aliases
+_COMPLETIONS = (
+    ".render", ".reset", ".quit",
+    "/q", "/d", "/t", "/v", "/i", "/s", "/S", "/o", "/l", "/w", "/m",
+    ":w", ":wex", ":q",
+)
+
+
+def _completer(text: str, state: int):
+    """readline completer: meta/system commands, plus N.sk script names
+    after /l (patch loader, wire.c:342)."""
+    cands = [c for c in _COMPLETIONS if c.startswith(text)]
+    if text.startswith("/l"):
+        stem = text[2:]
+        cands += sorted(
+            "/l" + p.stem for p in pathlib.Path.cwd().glob("*.sk")
+            if p.stem.startswith(stem))
+    return cands[state] if state < len(cands) else None
+
+
 def main(seconds: float = 4.0) -> int:
-    import readline  # noqa: F401 — line editing like bestline
+    import readline  # line editing like bestline
 
     from skred_tpu.assets import WaveBank
     from skred_tpu.host import HostEngine, WireContext
+
+    readline.set_completer(_completer)
+    readline.set_completer_delims(" \t")
+    readline.parse_and_bind("tab: complete")
 
     hist = pathlib.Path(HISTORY_FILE)
     try:

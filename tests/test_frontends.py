@@ -143,3 +143,80 @@ def test_timed_capture_renders(reference_dir):
     sec = np.abs(out[:n, 0]).reshape(-1, 4410).max(axis=1)
     assert sec[0] > 0.01                    # sounding at start
     assert sec[-1] < 1e-6                   # silent after a0
+
+
+def test_tcp_server_plain_lines():
+    """Plain TCP client: newline-terminated wire text, replies echoed as
+    lines (reference tcp_server.c line mode, on_line callback)."""
+    from skred_tpu.frontends.tcp import TcpWireServer
+
+    engine = HostEngine()
+    srv = TcpWireServer(engine, port=0)
+    port = srv.start()
+    try:
+        c = socket.create_connection(("127.0.0.1", port), timeout=3)
+        c.sendall(b"v5 w0 f330 a7\n?\n")
+        buf = b""
+        deadline = time.time() + 5
+        while time.time() < deadline and b"f330" not in buf:
+            try:
+                buf += c.recv(4096)
+            except socket.timeout:
+                break
+        c.close()
+    finally:
+        srv.stop()
+    assert float(engine.freq[5]) == 330.0
+    assert float(engine.amp[5]) == 7.0
+    # '?' dumps the current voice state as replayable wire text
+    assert b"v5" in buf and b"f330" in buf
+
+
+def test_tcp_server_websocket():
+    """WebSocket client: RFC-6455 handshake + masked text frame in,
+    unmasked text frame out (reference tcp_server.c:59-180)."""
+    import base64
+    import hashlib
+
+    from skred_tpu.frontends.tcp import TcpWireServer, ws_accept_key
+
+    engine = HostEngine()
+    srv = TcpWireServer(engine, port=0)
+    port = srv.start()
+    try:
+        c = socket.create_connection(("127.0.0.1", port), timeout=3)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        c.sendall((f"GET /wire HTTP/1.1\r\nHost: x\r\n"
+                   f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   f"Sec-WebSocket-Key: {key}\r\n"
+                   f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        resp = b""
+        deadline = time.time() + 5
+        while time.time() < deadline and b"\r\n\r\n" not in resp:
+            resp += c.recv(4096)
+        assert b"101" in resp
+        assert ws_accept_key(key).encode() in resp
+        # masked client text frame: "v6 a3" then "?"
+        def frame(text):
+            payload = text.encode()
+            mask = b"\x01\x02\x03\x04"
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            return bytes((0x81, 0x80 | len(payload))) + mask + masked
+
+        c.sendall(frame("v6 w0 f550 a3"))
+        c.sendall(frame("?"))
+        buf = b""
+        deadline = time.time() + 5
+        while time.time() < deadline and b"f550" not in buf:
+            try:
+                buf += c.recv(4096)
+            except socket.timeout:
+                break
+        c.close()
+    finally:
+        srv.stop()
+    assert float(engine.freq[6]) == 550.0
+    assert float(engine.amp[6]) == 3.0
+    # reply came back as an unmasked text frame containing the state dump
+    assert buf[:1] == b"\x81"
+    assert b"f550" in buf

@@ -62,7 +62,7 @@ def main() -> None:
 
     def slow(key):
         vp, passes, feat = key
-        return ALL or (passes >= 2 and feat.flt and vp >= 7)
+        return ALL or (feat.flt and vp >= 7)
 
     total_audio = total_wall = 0.0
     CHUNK = 172
