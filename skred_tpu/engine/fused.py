@@ -451,9 +451,17 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         # 16 KB table copy per lane per block) by the run length
         tb3 = table_buffer.reshape(-1, 32, 128)
         slot = (p["table_off"] // 4096).astype(I32)
+        has_rosters = ("med_map" + rk) in p or ("big_map" + rk) in p
+        if has_rosters:
+            # medium/big-table lanes resolve through their rosters below;
+            # zero their indices so the small-tier sweep for those lanes
+            # collapses to one row (the kernel's dynamic row bounds)
+            idx_s = jnp.where((p["small_voice"] != 0)[..., None], idx, 0)
+        else:
+            idx_s = idx
         f_osc = KK.table_lookup_grouped(
             tb3, slot.T.reshape(V_ * B_),
-            idx.transpose(1, 0, 2).reshape(V_ * B_, N)) \
+            idx_s.transpose(1, 0, 2).reshape(V_ * B_, N)) \
             .reshape(V_, B_, N).transpose(1, 0, 2)
         if ("med_map" + rk) in p and table_buffer.shape[0] % 32768 == 0:
             sel, idx_m, off_m = roster_select("med_map" + rk)

@@ -581,7 +581,10 @@ def table_lookup_pallas(table3, slot, idx, slot_size=SLOT):
     return out.reshape(m, n)
 
 
-LUT_GROUP = 16       # lanes per grouped-LUT grid step
+LUT_GROUP = 32       # lanes per grouped-LUT grid step: larger groups
+                     # amortize the per-step scalar-core overhead (the
+                     # heavy buckets' measured bound) and the uniform-slot
+                     # fast path keeps the per-step vector work one sweep
 
 
 def _make_lut_kernel_grouped(slot_rows, G):

@@ -121,11 +121,14 @@ def estimate_bucket(st, feat_tiers=None) -> BucketCost:
             if ft.cz:
                 total_bytes += 2 * ls
                 total_flops += L * N * _OPS["cz"]
-            # LUT: idx in, f out, slot DMAs (voice-major runs share one)
+            # LUT: idx in, f out, slot DMAs (voice-major runs share one);
+            # the grouped kernel advances LUT_GROUP lanes per grid step
+            from skred_tpu.engine.kernels import LUT_GROUP
+
             total_bytes += 2 * ls
             slots = (toff[:, lo:hi].T // 4096)               # [vt, B]
             n_dma = _runs(slots)
-            lut_steps += L
+            lut_steps += -(-L // LUT_GROUP)
             lut_dma += n_dma * 4096 * f32
             # envelope closed form
             if ft.env:
