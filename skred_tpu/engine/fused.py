@@ -65,7 +65,15 @@ class Feat(NamedTuple):
     (synth.c:531-542), resolved at trace time instead."""
 
     fm: bool = True          # any freq_mod_osc >= 0
-    cz: bool = True          # any cz_mode != 0
+    cz: bool = True          # any cz_mode != 0 (phase-distortion warp)
+    czm: bool = True         # any EFFECTIVE cz-mod edge: cz_mod_osc >= 0
+                             # on a warped voice with nonzero depth.
+                             # cz_mod_osc defaults to 0 (never reset,
+                             # host/timeline.py:143), so the reference's
+                             # read happens on every warped voice — but a
+                             # zero-depth read multiplies to exactly 0.0,
+                             # data-independent, so no modulator read is
+                             # needed (dm = cm>=0 ? 0.0 : 1.0).
     am: bool = True          # any amp_mod_osc >= 0
     pm: bool = True          # any pan_mod_osc >= 0
     am_self: bool = True     # any packed am_self flag
@@ -96,6 +104,9 @@ def compute_feat(st, lanes=None) -> Feat:
     return Feat(
         fm=bool((arr("freq_mod_osc") >= 0).any()),
         cz=bool((arr("cz_mode") != 0).any()),
+        czm=bool(((arr("cz_mod_osc") >= 0)
+                  & (arr("cz_mode") != 0)
+                  & (arr("cz_mod_depth") != 0)).any()),
         am=bool((arr("amp_mod_osc") >= 0).any()),
         pm=bool((arr("pan_mod_osc") >= 0).any()),
         am_self=bool("am_self" in p and (arr("am_self") != 0).any()),
@@ -293,7 +304,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     read_specs = []
     if feat.fm:
         read_specs.append(("fm", p["freq_mod_osc"], p["fm_delayed"]))
-    if feat.cz:
+    if feat.cz and feat.czm:
         read_specs.append(("cz", p["cz_mod_osc"], p["cm_delayed"]))
     if feat.am:
         read_specs.append(("am", p["amp_mod_osc"], p["am_delayed"]))
@@ -404,10 +415,18 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
 
     # ---- table lookup (+ CZ) ----
     if feat.cz:
-        cm = p["cz_mod_osc"]
-        cz_read = reads["cz"]
-        dm = jnp.where((cm >= 0)[..., None],
-                       cz_read * p["cz_mod_depth"][..., None], F32(1.0))
+        if feat.czm:
+            cm = p["cz_mod_osc"]
+            cz_read = reads["cz"]
+            dm = jnp.where((cm >= 0)[..., None],
+                           cz_read * p["cz_mod_depth"][..., None], F32(1.0))
+        else:
+            # no effective CZ-mod edge anywhere (every warped voice's
+            # depth is 0): the reference still branches on cm >= 0
+            # (synth.c:263-264), but the taken read multiplies to
+            # exactly +0.0 — data-independent, so no modulator read
+            dm = jnp.where((p["cz_mod_osc"] >= 0)[..., None],
+                           F32(0.0), F32(1.0))
         cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
                             p["cz_distortion"][..., None] + dm,
                             tsize_f[..., None])
@@ -784,8 +803,9 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 feat_tiers=None):
     B, _, Vp = params["amp"].shape
     # pan-mod does not feed sample generation (pan is applied globally
-    # after all tiers), so pm alone needs no modulator estimates
-    any_mod = feat.fm or feat.cz or feat.am
+    # after all tiers) and CZ warp without CZ-mod edges reads nothing,
+    # so neither alone needs modulator estimates
+    any_mod = feat.fm or (feat.cz and feat.czm) or feat.am
     _CK = ("phase", "finished", "sample", "hold_count", "hold_val",
            "x1", "x2", "y1", "y2", "smoother", "pan_l", "pan_r")
     p_groups, p_stacked, p_rest = _pack_by_dtype(params, Vp)

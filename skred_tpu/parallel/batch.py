@@ -536,7 +536,12 @@ def fill_bucket(group: list, vp: int, min_reps: int = 4) -> list:
     see one of each), then each script's replicas in an ADJACENT run —
     with the voice-major LUT grid (engine/fused.py) same-table lanes
     land on consecutive grid steps and the table re-DMA is skipped."""
-    target = 1024 if vp <= 2 else 512 if vp <= 8 else 256
+    # the per-block glue is op-overhead-bound (parallel/roofline.py:
+    # heavy buckets sit at a few % of HBM/VPU peaks), so throughput keeps
+    # rising with rows: 48.sk-class buckets cost only ~1.4x wall for 2x
+    # rows.  Light buckets are cheap either way; mid buckets mostly get
+    # lifted to 1024 by the serial kernels' lane quantum already.
+    target = 2048 if (vp <= 2 or vp > 8) else 1024
     reps = max(min_reps, -(-target // len(group)))
     rows = list(group)
     for tl in group:

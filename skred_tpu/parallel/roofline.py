@@ -104,7 +104,7 @@ def estimate_bucket(st, feat_tiers=None) -> BucketCost:
         vt = int(hi - lo)
         L = B * vt
         ls = L * N * f32                 # one [lanes, N] f32 tensor
-        mods = ft.fm + ft.cz + ft.am + ft.pm
+        mods = ft.fm + (ft.cz and ft.czm) + ft.am + ft.pm
 
         for _ in range(passes):
             # modulator reads: sel one-hot matmul (bytes: est read + K
