@@ -283,7 +283,7 @@ def _read_blocks_multi(est, prev_last, pairs):
 
 def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                       exact=False, use_pallas=False, feat=Feat(), N=None,
-                      full=None, rk=""):
+                      full=None, rk="", mega=False):
     """One block-level pass: compute a set of voices' full blocks.
 
     est: [B, V_src, N] modulator sample estimates (may be None when no
@@ -354,6 +354,12 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         adv_v = active0 & ~fin_prev & ~is_noise_v
     else:
         adv_v = active0 & ~fin_prev
+
+    if use_pallas and mega and not feat.noise:
+        return _mega_pass(carry, p, counts, table_buffer, exact, feat, N,
+                          B, V_, inc, inc_row,
+                          reads if read_specs else {}, active0, fin_prev,
+                          adv_v, lo, hi, L, os_noloop, tsize_f)
 
     B_ = B
     if use_pallas:
@@ -710,6 +716,124 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     return samples, contrib, (any_alive, il_out), new_carry
 
 
+def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
+               inc, inc_row, reads, active0, fin_prev, adv_v,
+               lo, hi, L, os_noloop, tsize_f):
+    """Single-pallas-call tier pass (kernels.tier_pallas): the whole
+    per-voice DSP chain — phase walk, CZ warp, table lookup, envelope,
+    S&H/quant/biquad/smoother — in one VMEM-resident kernel.  Replaces
+    the 3-kernel chain plus its inter-stage [B, V, N] HBM glue (the
+    measured majority cost of the heavy benchmark buckets).  Numerics:
+    the CZ warp divides via kernels._kdiv (bit-equal to render._div32),
+    the envelope is amplitude-only (native divide, ~1 ulp); dead samples
+    come back as exact zeros so the caller needs only per-lane masks."""
+    from skred_tpu.engine import kernels as K
+
+    tvv = K.to_vm_vec
+    i32v = lambda a: tvv(jnp.asarray(a).astype(I32))
+    f32v = lambda a: tvv(jnp.asarray(a).astype(F32))
+    vecs = {
+        "base_off": i32v(p["table_off"] % 32768),
+        "clip_i": i32v(jnp.maximum(p["table_size"] - 1, 0)),
+        "adv": i32v(adv_v), "act": i32v(active0),
+        "lo": f32v(lo), "hi": f32v(hi), "L": f32v(L),
+        "amp": f32v(p["amp"]),
+    }
+    slot = i32v(p["table_off"] // 32768)
+    if feat.finish:
+        vecs["osn"] = i32v(os_noloop)
+        vecs["one_shot"] = i32v(p["one_shot"])
+    if feat.cz:
+        vecs.update(cz_mode=i32v(p["cz_mode"]),
+                    cz_dist=f32v(p["cz_distortion"]), tsize=f32v(tsize_f))
+    if feat.env:
+        vecs.update(use_env=i32v(p["use_amp_envelope"]),
+                    env_active=i32v(p["env_active"]),
+                    env_start=i32v(p["env_start"]),
+                    env_rel_at=i32v(p["env_rel_at"]),
+                    att=f32v(p["env_attack"]), dec=f32v(p["env_decay"]),
+                    sus=f32v(p["env_sustain"]), rel=f32v(p["env_release"]),
+                    vel=f32v(p["env_velocity"]))
+    if feat.flt:
+        vecs.update(b0=f32v(p["b0"]), b1=f32v(p["b1"]), b2=f32v(p["b2"]),
+                    na1=f32v(p["na1"]), na2=f32v(p["na2"]),
+                    use_flt=i32v(p["filter_mode"] != 0))
+    if feat.sm:
+        vecs.update(use_sm=i32v(p["smoother_enable"]),
+                    smoothing=f32v(p["smoother_smoothing"]))
+    if feat.am_self:
+        vecs.update(am_self=i32v(p["am_self"]),
+                    am_depth=f32v(p["amp_mod_depth"]))
+    if feat.hold:
+        vecs.update(hold_on=i32v(p["hold_max"] != 0),
+                    hold_max=i32v(jnp.maximum(p["hold_max"], 1)))
+    if feat.quant:
+        levels = (jnp.left_shift(jnp.int32(1), p["quantize"]) - 1).astype(F32)
+        inv_levels = _div32(F32(1.0), jnp.maximum(levels, F32(1.0)))
+        vecs.update(quant_on=i32v(p["quantize"] != 0), levels=f32v(levels),
+                    inv_levels=f32v(inv_levels))
+    states = {"phase": f32v(carry["phase"]),
+              "finished": i32v(carry["finished"])}
+    if feat.flt:
+        states.update({k: f32v(carry[k]) for k in ("x1", "x2", "y1", "y2")})
+    if feat.sm:
+        states["smoother"] = f32v(carry["smoother"])
+    if feat.hold:
+        states["hold_count"] = i32v(carry["hold_count"])
+        states["hold_val"] = f32v(carry["hold_val"])
+
+    inc_in = K.to_vm_seq(inc) if feat.fm else f32v(inc_row)
+    if feat.cz and feat.czm:
+        cm = p["cz_mod_osc"]
+        dm = jnp.where((cm >= 0)[..., None],
+                       reads["cz"] * p["cz_mod_depth"][..., None], F32(1.0))
+        dm_in = K.to_vm_seq(dm)
+    elif feat.cz:
+        dm_in = f32v(jnp.where(p["cz_mod_osc"] >= 0, F32(0.0), F32(1.0)))
+    else:
+        dm_in = None
+    if feat.am:
+        am = p["amp_mod_osc"]
+        amod = jnp.where((am >= 0)[..., None],
+                         reads["am"] * p["amp_mod_depth"][..., None],
+                         F32(1.0))
+        amod_in = K.to_vm_seq(amod)
+    else:
+        amod_in = None
+    cbase = counts[:1] if feat.env else jnp.zeros((1,), I32)
+    table3 = table_buffer.reshape(-1, 256, 128)
+
+    mfeat = (feat.fm, feat.cz, feat.czm, feat.env, feat.flt, feat.sm,
+             feat.hold, feat.quant, feat.am, feat.am_self, feat.finish)
+    out, res = K.tier_pallas(table3, slot, cbase, inc_in, dm_in, amod_in,
+                             vecs, states, feat=mfeat, exact=exact, n=N)
+    fvv = lambda a: K.from_vm_vec(a, B, V_)
+    samples = K.from_vm_seq(out, B, V_)
+    cnt = fvv(res["cnt"])
+    il = jnp.clip(cnt - 1, 0, N - 1)
+    any_alive = cnt >= 1
+    new_carry = dict(
+        phase=fvv(res["phase"]),
+        finished=fvv(res["finished"]).astype(I32) if feat.finish
+        else carry["finished"],
+        sample=samples[..., -1],
+        hold_count=fvv(res["hold_count"]).astype(I32) if feat.hold
+        else carry["hold_count"],
+        hold_val=fvv(res["hold_val"]) if feat.hold else carry["hold_val"],
+        x1=fvv(res["x1"]) if feat.flt else carry["x1"],
+        x2=fvv(res["x2"]) if feat.flt else carry["x2"],
+        y1=fvv(res["y1"]) if feat.flt else carry["y1"],
+        y2=fvv(res["y2"]) if feat.flt else carry["y2"],
+        smoother=fvv(res["smoother"]) if feat.sm else carry["smoother"],
+        pan_l=carry["pan_l"], pan_r=carry["pan_r"],
+    )
+    if feat.disc:
+        contrib = ((p["disconnect"] == 0) & active0)[..., None]
+    else:
+        contrib = active0[..., None]
+    return samples, contrib, (any_alive, il), new_carry
+
+
 def _apply_ops_b(carry, ops, flag, feat=Feat()):
     c = dict(carry)
     c["phase"] = jnp.where(flag & ops["set_phase"], ops["phase"], carry["phase"])
@@ -749,34 +873,37 @@ def make_carry0(B, Vp):
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "capture", "exact",
                                              "use_pallas", "n_src", "feat",
-                                             "tiers", "feat_tiers"))
+                                             "tiers", "feat_tiers",
+                                             "mega_tiers"))
 def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                num_blocks, block, mod_passes, capture, exact=False,
                use_pallas=False, n_src=0, feat=Feat(), tiers=None,
-               feat_tiers=None):
+               feat_tiers=None, mega_tiers=None):
     B, _, Vp = params["amp"].shape
     carry0 = make_carry0(B, Vp)
     _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
                           table_buffer, noise, 0, num_blocks, block,
                           mod_passes, capture, exact, use_pallas, n_src, feat,
-                          tiers, feat_tiers)
+                          tiers, feat_tiers, mega_tiers)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
                                              "mod_passes", "exact",
                                              "use_pallas", "n_src", "feat",
-                                             "tiers", "feat_tiers"))
+                                             "tiers", "feat_tiers",
+                                             "mega_tiers"))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
                      mod_passes, exact=False, use_pallas=False, n_src=0,
-                     feat=Feat(), tiers=None, feat_tiers=None):
+                     feat=Feat(), tiers=None, feat_tiers=None,
+                     mega_tiers=None):
     """One streaming chunk: render `num_blocks` blocks starting at global
     block index `block0` (traced), carrying state in/out."""
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
                        mod_passes, False, exact, use_pallas, n_src, feat,
-                       tiers, feat_tiers)
+                       tiers, feat_tiers, mega_tiers)
 
 
 def _pack_by_dtype(arrs: dict, Vp: int):
@@ -800,8 +927,15 @@ def _pack_by_dtype(arrs: dict, Vp: int):
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
                 use_pallas, n_src=0, feat=Feat(), tiers=None,
-                feat_tiers=None):
+                feat_tiers=None, mega_tiers=None):
     B, _, Vp = params["amp"].shape
+    if use_pallas and mega_tiers and any(mega_tiers):
+        # the megakernel views the buffer as 32768-sample slots
+        tb_pad = (-table_buffer.shape[0]) % 32768
+        if tb_pad:
+            table_buffer = jnp.concatenate(
+                [table_buffer,
+                 jnp.zeros((tb_pad,), table_buffer.dtype)])
     # pan-mod does not feed sample generation (pan is applied globally
     # after all tiers) and CZ warp without CZ-mod edges reads nothing,
     # so neither alone needs modulator estimates
@@ -857,10 +991,11 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 # per-tier static flags: this tier's pass and kernels
                 # carry only the stages its own lanes use
                 ft = feat_tiers[ti] if feat_tiers is not None else feat
+                mg = bool(mega_tiers[ti]) if mega_tiers else False
                 samples_t, contrib_t, (aa_t, il_t), nc_t = _voice_block_pass(
                     est, c_t, p_t, nblk, counts, table_buffer,
                     exact, use_pallas, ft, N=block, full=full,
-                    rk=f"_t{ti}")
+                    rk=f"_t{ti}", mega=mg)
                 if est is not None and ti + 1 < len(tiers):
                     est = jax.lax.dynamic_update_slice_in_dim(
                         est, samples_t, ts_, axis=1)
@@ -880,6 +1015,7 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             # single tier (rosters named "_t0") or cyclic-union fallback
             # (repeat-passes layout, global roster names)
             rk = "_t0" if tiers is not None else ""
+            mg = bool(mega_tiers[0]) if mega_tiers else False
             if n_src and n_src < Vp and mod_passes > 1:
                 # the rosters hold packed voice indices, not per-voice
                 # data — entries >= n_src one-hot to zero in the prefix
@@ -893,17 +1029,17 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                     s_src, _, _, _ = _voice_block_pass(
                         est[:, :n_src], c_src, p_src, nblk, counts,
                         table_buffer, exact, use_pallas, feat, N=block,
-                        rk=rk)
+                        rk=rk, mega=mg)
                     est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
             else:
                 for _ in range(mod_passes - 1):
                     samples, _, _, _ = _voice_block_pass(
                         est, carry, p, nblk, counts, table_buffer, exact,
-                        use_pallas, feat, N=block, rk=rk)
+                        use_pallas, feat, N=block, rk=rk, mega=mg)
                     est = samples
             samples, contrib, (any_alive, il), new_carry = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
-                feat, N=block, rk=rk)
+                feat, N=block, rk=rk, mega=mg)
 
         # ---- pan (one pass over ALL lanes: the modulator blocks are the
         # final samples, exact for every tier/pass layout; serial-order
@@ -966,6 +1102,26 @@ def _feat_tiers(st):
                  for i in range(len(st.tiers)))
 
 
+def _mega_tiers(st):
+    """Static per-tier megakernel eligibility (None = megakernel off).
+
+    A tier runs the fused tier kernel unless a lane binds a table larger
+    than the 32768-sample slot the kernel DMAs whole (rare large PCM —
+    those tiers keep the 3-kernel path with the XLA gather roster).
+    Noise-alt tiers are gated by feat.noise inside _voice_block_pass."""
+    from skred_tpu.engine import kernels as K
+
+    if not K.MEGA:
+        return None
+    ts = np.asarray(st.params["table_size"])
+    if st.tiers and len(st.tiers) > 1:
+        bounds = np.cumsum((0,) + tuple(st.tiers))
+        return tuple(
+            not (ts[:, :, int(bounds[i]):int(bounds[i + 1])] > 32768).any()
+            for i in range(len(st.tiers)))
+    return (not (ts > 32768).any(),)
+
+
 def _pad_quantum(st, Vp):
     """Batch-padding quantum: every pallas lane group (each tier slice, or
     the n_src prefix / full width in the fallback layout) must flatten to
@@ -1014,6 +1170,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
     table = jnp.asarray(st.table_buffer)
     feat = compute_feat(st)
     fts = _feat_tiers(st)
+    mts = _mega_tiers(st) if use_pallas else None
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
     sis = np.asarray(st.seg_is_start)
@@ -1027,7 +1184,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             table, jnp.asarray(n), jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
-            tiers=st.tiers, feat_tiers=fts)
+            tiers=st.tiers, feat_tiers=fts, mega_tiers=mts)
         r = B if keep_rows is None else min(keep_rows, B)
         yield np.asarray(outs[:, :r]).swapaxes(0, 1) \
             .reshape(r, nb * st.block, 2)
@@ -1070,6 +1227,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     table = jnp.asarray(st.table_buffer)
     feat = compute_feat(st)
     fts = _feat_tiers(st)
+    mts = _mega_tiers(st) if use_pallas else None
     B = st.batch
     carry = make_carry0(B, Vp)
     sob = np.asarray(st.seg_of_block)
@@ -1086,7 +1244,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
             table, n, jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
-            tiers=st.tiers, feat_tiers=fts)
+            tiers=st.tiers, feat_tiers=fts, mega_tiers=mts)
         if warmup_only:
             break
     if outs is None:
@@ -1136,7 +1294,8 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                       mod_passes=st.fused_passes, capture=False, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
                       feat=compute_feat(st), tiers=st.tiers,
-                      feat_tiers=_feat_tiers(st))
+                      feat_tiers=_feat_tiers(st),
+                      mega_tiers=_mega_tiers(st) if use_pallas else None)
 
 
 def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
@@ -1196,7 +1355,8 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
                       mod_passes=st.fused_passes, capture=capture, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
                       feat=compute_feat(st), tiers=st.tiers,
-                      feat_tiers=_feat_tiers(st))
+                      feat_tiers=_feat_tiers(st),
+                      mega_tiers=_mega_tiers(st) if use_pallas else None)
     if capture:
         out, cap = outs
         return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],

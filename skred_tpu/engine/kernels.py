@@ -727,3 +727,631 @@ def from_time_major(a: jnp.ndarray, b: int, v: int) -> jnp.ndarray:
     """[N, B*V] → [B, V, N]."""
     n = a.shape[0]
     return jnp.moveaxis(a.reshape(n, b, v), 0, -1)
+
+
+# --------------------------------------------------------------------------
+# Per-tier megakernel: phase walk → CZ warp → VMEM table lookup → envelope →
+# S&H/quant/biquad/smoother, ONE pallas_call per tier per block.  Replaces
+# the 3-kernel chain (phase_walk / table_lookup_grouped / filt_smooth) plus
+# ~15 inter-kernel XLA glue materializations of [B, V, N] tensors per tier —
+# the measured majority cost of the heavy benchmark buckets (the glue is
+# op-overhead-bound; see parallel/roofline.py and VERDICT r1 item 3).
+# Reference hot loop being replaced end-to-end: synth.c:502-630 per-voice
+# chain (osc_next → S&H → quantize → mmf_process → ADSR/amp → smoother).
+# --------------------------------------------------------------------------
+
+MEGA = True          # master switch for the fused tier kernel
+
+
+def _kdiv_from(y0, a, b):
+    """Finish a correctly-rounded f32 divide from reciprocal seed y0.
+
+    One exact-fma Newton step refines y0 to the correctly-rounded
+    reciprocal, then two Markstein residual corrections round a/b
+    correctly even from TPU's 1-ulp-off native seed (tests perturb the
+    seed by ±1 ulp and compare against the f64 oracle)."""
+    one = F32(1.0)
+    r = _kfma(-b, y0, one)
+    y = _kfma(y0, r, y0)
+    q = a * y
+    e = _kfma(-b, q, a)
+    q = _kfma(e, y, q)
+    e = _kfma(-b, q, a)
+    q = _kfma(e, y, q)
+    return q
+
+
+def _kdiv(a, b):
+    """Correctly-rounded f32 division inside Mosaic (no f64 there).
+
+    Matches render._div32 (the f64-round-trip quotient, i.e. glibc/x86
+    `/`) bit-for-bit for normal operands; non-finite intermediates fall
+    back to the native quotient."""
+    q = _kdiv_from(F32(1.0) / b, a, b)
+    return jnp.where(jnp.isfinite(q), q, a / b)
+
+
+def _k_fast_pow(a, b):
+    """fast_pow bit-trick (synth.c:140-147) with the exact fma."""
+    i = jax.lax.bitcast_convert_type(a, I32)
+    x = _kfma(b, (i - jnp.int32(1065353216)).astype(F32),
+              F32(1065353216.0))
+    r = jax.lax.bitcast_convert_type(x.astype(I32), F32)
+    return jnp.where(a <= F32(0.0), F32(0.0), r)
+
+
+def _cz_warp_k(mode, ph, d, tsize):
+    """In-kernel CZ phasor, bit-matching engine.fused._cz_phasor
+    (reference cz_phasor synth.c:149-215): every divide is the
+    correctly-rounded _kdiv, every fma site the exact _kfma."""
+    phase = _kdiv(ph, tsize)
+    d = jnp.clip(d, F32(0.0), F32(0.999))
+    half, one = F32(0.5), F32(1.0)
+    m1 = jnp.where(phase < d, phase * _kdiv(half, d),
+                   _kfma(phase - d, _kdiv(half, one - d), half))
+    sc2 = _kdiv(half, half - d * half)
+    m2 = jnp.where(phase < half, phase * sc2,
+                   _kfma(-(one - phase), sc2, one))
+    m3 = jnp.where(phase < half, phase * sc2,
+                   _kfma(phase - half, sc2, half))
+    m4 = jnp.fmod(phase * F32(2.0), one)
+    sc5b = _kdiv(half, half + d * half)
+    m5 = jnp.where(phase < half, phase * sc2,
+                   _kfma(phase - half, sc5b, half))
+    m6 = _k_fast_pow(phase, one + F32(4.0) * d)
+    m7 = _k_fast_pow(phase, one + F32(8.0) * d)
+    out = jnp.select([mode == 1, mode == 2, mode == 3, mode == 4,
+                      mode == 5, mode == 6, mode == 7],
+                     [m1, m2, m3, m4, m5, m6, m7], default=phase)
+    return out * tsize
+
+
+def to_vm_seq(a: jnp.ndarray) -> jnp.ndarray:
+    """[B, V, N] → [N, V*B] voice-major lanes (lane = v*B + b): replicated
+    rows of the same script land on consecutive lanes, so the megakernel's
+    per-step table DMA is shared across whole replica runs."""
+    b, v, n = a.shape
+    return a.transpose(2, 1, 0).reshape(n, v * b)
+
+
+def from_vm_seq(a: jnp.ndarray, b: int, v: int) -> jnp.ndarray:
+    """[N, V*B] voice-major → [B, V, N]."""
+    n = a.shape[0]
+    return a.reshape(n, v, b).transpose(2, 1, 0)
+
+
+def to_vm_vec(a: jnp.ndarray) -> jnp.ndarray:
+    """[B, V] → [V*B] voice-major."""
+    return a.T.reshape(-1)
+
+
+def from_vm_vec(a: jnp.ndarray, b: int, v: int) -> jnp.ndarray:
+    """[V*B] voice-major → [B, V]."""
+    return a.reshape(v, b).T
+
+
+SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
+
+
+def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
+    """The fused tier kernel body.  ``feat`` is an 11-tuple of static
+    flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish);
+    stages off for the tier vanish from the compiled loop.
+
+    Three phases over one grid step of ``g_lanes`` lanes (8·128 vregs):
+      1. serial phase walk (osc_next synth.c:217-258) → ph scratch,
+         alive-prefix count per lane (dead is monotone within a block)
+      2. vector CZ warp + index clip + dead masking → idx scratch
+      3. table lookup from a VMEM slot scratch: one DMA per distinct
+         32768-sample slot per step (uniform fast path: ONE masked-row
+         sweep vectorized over all lanes; non-uniform steps loop over
+         slot runs with lane masks — no per-lane sweeps, no transposes)
+      4. serial S&H + quantize + biquad + envelope + smoother
+         (synth.c:560-592) reading f from scratch, envelope closed-form
+         in-kernel (amplitude-only → native divide is enough)
+    """
+    fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish = feat
+    fma = _kfma if exact else (lambda a, b, c: a * b + c)
+    sub = g_lanes // 128                     # sublane rows per step (8)
+
+    def kernel(*refs):
+        it = iter(refs)
+        slot_sm = next(it)                   # [M] prefetch (SMEM)
+        cbase_sm = next(it)                  # [1] prefetch (SMEM)
+        tab_ref = next(it)                   # HBM [S, 256, 128]
+        inc_ref = next(it)                   # seq (fm) or vec
+        dm_ref = next(it) if (cz and czm) else None
+        dmv_ref = next(it) if (cz and not czm) else None
+        amod_ref = next(it) if am_a else None
+        slot_v = next(it)                    # vec i32
+        base_v = next(it)                    # vec i32 (table_off % 32768)
+        clip_v = next(it)                    # vec i32 (table_size-1 >= 0)
+        phase0_v = next(it)
+        adv_v = next(it)
+        lo_v, hi_v, l_v = next(it), next(it), next(it)
+        if finish:
+            fin0_v, osn_v, osh_v = next(it), next(it), next(it)
+        act_v = next(it)
+        if cz:
+            czmode_v, czdist_v, tsize_v = next(it), next(it), next(it)
+        if env_a:
+            use_env_v, env_act_v = next(it), next(it)
+            env_start_v, env_relat_v = next(it), next(it)
+            att_v, dec_v, sus_v, rel_v, vel_v = (next(it), next(it),
+                                                 next(it), next(it), next(it))
+        amp_v = next(it)
+        if flt:
+            b0_v, b1_v, b2_v = next(it), next(it), next(it)
+            na1_v, na2_v, uflt_v = next(it), next(it), next(it)
+        if sm:
+            usm_v, smo_v = next(it), next(it)
+        if am_self_f:
+            amself_v, amdep_v = next(it), next(it)
+        if hold:
+            holdon_v, hmax_v = next(it), next(it)
+        if quant:
+            qon_v, lev_v, ilev_v = next(it), next(it), next(it)
+        if flt:
+            x1_v, x2_v, y1_v, y2_v = next(it), next(it), next(it), next(it)
+        if sm:
+            sg_v = next(it)
+        if hold:
+            hc_v, hv_v = next(it), next(it)
+        out_ref = next(it)
+        phend_ref = next(it)
+        cnt_ref = next(it)
+        if finish:
+            finend_ref = next(it)
+        if flt:
+            x1o, x2o, y1o, y2o = next(it), next(it), next(it), next(it)
+        if sm:
+            sgo = next(it)
+        if hold:
+            hco, hvo = next(it), next(it)
+        ph_s = next(it)                      # VMEM (n, sub, 128) f32
+        idx_s = next(it)                     # VMEM (n, sub, 128) i32
+        f_s = next(it)                       # VMEM (n, sub, 128) f32
+        tab_s = next(it)                     # VMEM (256, 128) f32
+        cur = next(it)                       # SMEM (1,) i32
+        sem = next(it)                       # DMA semaphore
+
+        p = pl.program_id(0)
+
+        @pl.when(p == 0)
+        def _init():
+            cur[0] = jnp.int32(-1)
+
+        lo = lo_v[0]
+        hi = hi_v[0]
+        L = l_v[0]
+        adv = adv_v[0] != 0
+        act = act_v[0] != 0
+        if finish:
+            osn = osn_v[0] != 0
+            one_shot = osh_v[0] != 0
+        if not fm:
+            inc_const = inc_ref[0]
+
+        # ---- phase 1: serial phase walk + alive count ----
+        def pbody(t, carry):
+            ph_c, fin_c, cnt_c = carry
+            inc_t = inc_ref[t] if fm else inc_const
+            ph = ph_c + inc_t
+            bad = ~jnp.isfinite(ph)
+            over = ph >= hi
+            under = ph < lo
+            r = jnp.fmod(ph - lo, L)
+            wrap_over = lo + r
+            wrap_under = hi + r
+            if finish:
+                ph2 = jnp.where(
+                    over, jnp.where(osn, hi - F32(1e-6), wrap_over),
+                    jnp.where(under, jnp.where(osn, lo, wrap_under), ph))
+            else:
+                ph2 = jnp.where(over, wrap_over,
+                                jnp.where(under, wrap_under, ph))
+            ph2 = jnp.where(bad, F32(0.0), ph2)
+            ph_s[t] = ph2
+            if finish:
+                fin_new = (bad & one_shot) | ((over | under) & osn)
+                fin_b = fin_c != 0
+                step_on = adv & ~fin_b
+                alive_t = act & ~fin_b
+                ph_keep = jnp.where(step_on, ph2, ph_c)
+                fin_keep = jnp.where(step_on & fin_new, jnp.int32(1), fin_c)
+                cnt_n = cnt_c + jnp.where(alive_t, jnp.int32(1), jnp.int32(0))
+            else:
+                ph_keep = jnp.where(adv, ph2, ph_c)
+                fin_keep = fin_c
+                cnt_n = cnt_c
+            return ph_keep, fin_keep, cnt_n
+
+        fin0 = fin0_v[0] if finish else jnp.zeros_like(phase0_v[0], dtype=I32)
+        init = (phase0_v[0], fin0, jnp.zeros_like(fin0))
+        if unroll == 1:
+            ph_e, fin_e, cnt_e = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n),
+                                                   pbody, init)
+        else:
+            def pbodyu(q, c):
+                t0 = q * jnp.int32(unroll)
+                for u in range(unroll):
+                    c = pbody(t0 + jnp.int32(u), c)
+                return c
+
+            ph_e, fin_e, cnt_e = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n // unroll), pbodyu, init)
+        if not finish:
+            cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
+
+        # ---- phase 2: CZ warp + index clip + dead masking (chunked so
+        # the vector temporaries stay a few hundred KB) ----
+        clip_row = clip_v[0]
+        base_row = base_v[0]
+        if cz:
+            mode_row = czmode_v[0]
+            dist_row = czdist_v[0]
+            tsz_row = tsize_v[0]
+            if not czm:
+                d_row = dist_row + dmv_ref[0]
+        TC = 128 if n % 128 == 0 else n
+
+        def cbody(q, _):
+            t0 = q * jnp.int32(TC)
+            ph3 = ph_s[pl.ds(t0, TC)]                  # (TC, sub, 128)
+            if cz:
+                if czm:
+                    d3 = dist_row[None] + dm_ref[pl.ds(t0, TC)]
+                else:
+                    d3 = jnp.broadcast_to(d_row[None], ph3.shape)
+                warped = _cz_warp_k(mode_row[None], ph3, d3, tsz_row[None])
+                idx_f = jnp.where((mode_row != 0)[None], warped, ph3)
+            else:
+                idx_f = ph3
+            idx = jnp.clip(idx_f.astype(I32), 0, clip_row[None])
+            tpos = (jax.lax.broadcasted_iota(I32, ph3.shape, 0)
+                    + t0)
+            alive3 = tpos < cnt_e[None]
+            idx = jnp.where(alive3, idx, 0)
+            idx_s[pl.ds(t0, TC)] = base_row[None] + idx
+            return 0
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody, 0)
+
+        # ---- phase 3: table lookup (per-distinct-slot DMA + masked
+        # row sweeps over the whole step's lanes) ----
+        idx2 = idx_s[...].reshape(n * sub, 128)
+        hi2 = jax.lax.shift_right_logical(idx2, jnp.int32(7))
+        lo2 = jax.lax.bitwise_and(idx2, jnp.int32(127))
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+        def sweep(sel, acc):
+            hi_m = jnp.where(sel, hi2, jnp.int32(SLOT_ROWS))
+            lo_m = jnp.where(sel, hi2, jnp.int32(0))
+
+            def row(c, a):
+                bc = jnp.broadcast_to(tab_s[pl.ds(c, 1), :], idx2.shape)
+                g = jax.lax.gather(
+                    bc, lo2[..., None], dnums, slice_sizes=(1, 1),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                return jnp.where(sel & (hi2 == c), g, a)
+
+            return jax.lax.fori_loop(jnp.min(hi_m), jnp.max(lo_m)
+                                     + jnp.int32(1), row, acc)
+
+        s0 = slot_sm[p * g_lanes]
+        uniform = jnp.all(slot_v[0] == s0)
+
+        @pl.when(uniform)
+        def _one_slot():
+            @pl.when(s0 != cur[0])
+            def _fetch():
+                cp = pltpu.make_async_copy(tab_ref.at[s0], tab_s, sem)
+                cp.start()
+                cp.wait()
+                cur[0] = s0
+
+            full = jnp.ones(idx2.shape, jnp.bool_)
+            f_s[...] = sweep(full, jnp.zeros(idx2.shape, F32)) \
+                .reshape(n, sub, 128)
+
+        @pl.when(jnp.logical_not(uniform))
+        def _slot_runs():
+            def lane(l, _):
+                s_l = slot_sm[p * g_lanes + l]
+                prev = slot_sm[p * g_lanes
+                               + jnp.maximum(l - jnp.int32(1), jnp.int32(0))]
+                start = jnp.logical_or(l == 0, s_l != prev)
+
+                @pl.when(start)
+                def _run():
+                    @pl.when(s_l != cur[0])
+                    def _fetch():
+                        cp = pltpu.make_async_copy(tab_ref.at[s_l], tab_s,
+                                                   sem)
+                        cp.start()
+                        cp.wait()
+                        cur[0] = s_l
+
+                    sel = jnp.tile(slot_v[0] == s_l, (n, 1))
+                    acc = f_s[...].reshape(n * sub, 128)
+                    f_s[...] = sweep(sel, acc).reshape(n, sub, 128)
+
+                return 0
+
+            f_s[...] = jnp.zeros((n, sub, 128), F32)
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(g_lanes), lane, 0)
+
+        # ---- phase 4: serial S&H + quant + biquad + env + smoother ----
+        amp = amp_v[0]
+        if flt:
+            b0, b1, b2 = b0_v[0], b1_v[0], b2_v[0]
+            na1, na2 = na1_v[0], na2_v[0]
+            use_flt = uflt_v[0] != 0
+        if sm:
+            use_sm = usm_v[0] != 0
+            smoothing = smo_v[0]
+        if am_self_f:
+            am_self = amself_v[0] != 0
+            am_depth = amdep_v[0]
+        if hold:
+            hold_on = holdon_v[0] != 0
+            hmax = hmax_v[0]
+        if quant:
+            quant_on = qon_v[0] != 0
+            levels = lev_v[0]
+            inv_lev = ilev_v[0]
+        if env_a:
+            use_env = use_env_v[0] != 0
+            env_act = env_act_v[0] != 0
+            env_start = env_start_v[0]
+            env_relat = env_relat_v[0]
+            att, dec = att_v[0], dec_v[0]
+            sus, rel = sus_v[0], rel_v[0]
+            vel = vel_v[0]
+            att_dec = att + dec
+            cb = cbase_sm[0]
+        zero_f = jnp.zeros_like(amp)
+        zero_i = jnp.zeros_like(amp, dtype=I32)
+
+        def fbody(t, carry):
+            x1, x2, y1, y2, sg, hc, hv = carry
+            alive_t = t < cnt_e
+            f_t = jnp.where(alive_t, f_s[t], F32(0.0))
+            if hold:
+                is_h = hold_on & (hc == 0)
+                hv2 = jnp.where(is_h, f_t, hv)
+                s1 = jnp.where(hold_on, hv2, f_t)
+                hcn = hc + jnp.int32(1)
+                hcn = jnp.where(hcn >= hmax, jnp.int32(0), hcn)
+                nhv = jnp.where(alive_t, hv2, hv)
+                nhc = jnp.where(alive_t & hold_on, hcn, hc)
+            else:
+                s1 = f_t
+                nhc, nhv = hc, hv
+            if quant:
+                iv = _kfma(s1, levels, F32(0.5)).astype(I32).astype(F32)
+                x_t = jnp.where(quant_on, iv * inv_lev, s1)
+            else:
+                x_t = s1
+            if flt:
+                fv = b1 * x1
+                fv = fma(b0, x_t, fv)
+                fv = fma(b2, x2, fv)
+                fv = fma(na1, y1, fv)
+                fv = fma(na2, y2, fv)
+                s3 = jnp.where(use_flt, fv, x_t)
+                upd = alive_t & use_flt
+                nx1 = jnp.where(upd, x_t, x1)
+                nx2 = jnp.where(upd, x1, x2)
+                ny1 = jnp.where(upd, fv, y1)
+                ny2 = jnp.where(upd, y1, y2)
+            else:
+                s3 = x_t
+                nx1, nx2, ny1, ny2 = x1, x2, y1, y2
+            amod = amod_ref[t] if am_a else F32(1.0)
+            if am_self_f:
+                amod = jnp.where(am_self, s3 * am_depth, amod)
+            if env_a:
+                # closed-form ADSR from trigger/release stamps
+                # (synth.c:398-431); amplitude-only → native divide
+                tf = (cb + t - env_start).astype(F32)
+                trf = (cb + t - env_relat).astype(F32)
+                v = jnp.where(
+                    tf < att, tf / att,
+                    jnp.where(tf < att_dec,
+                              _kfma(-((tf - att) / dec), F32(1.0) - sus,
+                                    F32(1.0)),
+                              jnp.where(env_relat == 0, sus,
+                                        jnp.where(trf < rel,
+                                                  sus * (F32(1.0)
+                                                         - trf / rel),
+                                                  F32(0.0)))))
+                v = jnp.where(env_act, v, F32(0.0))
+                env_t = jnp.where(use_env, v * vel, F32(1.0))
+                final_t = amp * env_t
+            else:
+                final_t = amp
+            final_t = final_t * amod
+            if sm:
+                sg2 = fma(smoothing, final_t - sg, sg)
+                final2 = jnp.where(use_sm, sg2, final_t)
+                nsg = jnp.where(alive_t & use_sm, sg2, sg)
+            else:
+                final2 = final_t
+                nsg = sg
+            out_ref[t] = jnp.where(alive_t, s3 * final2, F32(0.0))
+            return nx1, nx2, ny1, ny2, nsg, nhc, nhv
+
+        finit = (x1_v[0] if flt else zero_f, x2_v[0] if flt else zero_f,
+                 y1_v[0] if flt else zero_f, y2_v[0] if flt else zero_f,
+                 sg_v[0] if sm else zero_f,
+                 hc_v[0] if hold else zero_i, hv_v[0] if hold else zero_f)
+        if unroll == 1:
+            x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n), fbody, finit)
+        else:
+            def fbodyu(q, c):
+                t0 = q * jnp.int32(unroll)
+                for u in range(unroll):
+                    c = fbody(t0 + jnp.int32(u), c)
+                return c
+
+            x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n // unroll), fbodyu, finit)
+
+        phend_ref[0] = ph_e
+        cnt_ref[0] = cnt_e
+        if finish:
+            finend_ref[0] = fin_e
+        if flt:
+            x1o[0] = x1
+            x2o[0] = x2
+            y1o[0] = y1
+            y2o[0] = y2
+        if sm:
+            sgo[0] = sg
+        if hold:
+            hco[0] = hc
+            hvo[0] = hv
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _tier_kernel_for(feat, exact, unroll, n, g_lanes):
+    return _make_tier_kernel(feat, exact, unroll, n, g_lanes)
+
+
+@functools.partial(jax.jit, static_argnames=("feat", "exact", "n"))
+def tier_pallas(table3, slot, cbase, inc, dm, amod, vecs, states,
+                feat=None, exact=False, n=None):
+    """One fused tier pass (see _make_tier_kernel).
+
+    table3: [S, 256, 128] f32 — the stacked table buffer viewed as
+    32768-sample slots (tables are slot-aligned by stack_timelines);
+    slot: [M] i32 per-lane slot id (table_off // 32768), scalar-prefetched
+    for the per-run DMA; cbase: [1] i32 global sample count base of this
+    block (envelope closed form); inc: [N, M] (fm) or [M]; dm: [N, M]
+    (czm) / [M] (cz, no mod edges) / None; amod: [N, M] or None.
+
+    vecs: dict of per-lane [M] parameter vectors (voice-major — see
+    to_vm_vec); states: dict of per-lane [M] carried DSP state.  ``feat``
+    is the static 11-tuple (fm, cz, czm, env, flt, sm, hold, quant, am,
+    am_self, finish).
+
+    Returns (out [N, M], dict of end-state [M] vectors incl. ``cnt`` —
+    the alive-prefix length per lane)."""
+    fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish = feat
+    m = slot.shape[0]
+    assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
+    r = m // 128
+    grid = (m // LANE_QUANTUM,)
+    seq = pl.BlockSpec((n, 8, 128), lambda i, s, c: (i * 0, i, i * 0))
+    vec = pl.BlockSpec((1, 8, 128), lambda i, s, c: (i * 0, i, i * 0))
+    wseq = lambda a: a.reshape(a.shape[0], r, 128)
+    wvec = lambda a: a.reshape(1, r, 128)
+    unwrap = lambda a: a.reshape(a.shape[0], m)
+
+    ins = [table3]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+
+    def add_seq(a):
+        ins.append(wseq(a))
+        in_specs.append(seq)
+
+    def add_vec(*arrs):
+        for a in arrs:
+            ins.append(wvec(a[None, :]))
+            in_specs.append(vec)
+
+    if fm:
+        add_seq(inc)
+    else:
+        add_vec(inc)
+    if cz and czm:
+        add_seq(dm)
+    elif cz:
+        add_vec(dm)
+    if am_a:
+        add_seq(amod)
+    add_vec(slot, vecs["base_off"], vecs["clip_i"], states["phase"],
+            vecs["adv"], vecs["lo"], vecs["hi"], vecs["L"])
+    if finish:
+        add_vec(states["finished"], vecs["osn"], vecs["one_shot"])
+    add_vec(vecs["act"])
+    if cz:
+        add_vec(vecs["cz_mode"], vecs["cz_dist"], vecs["tsize"])
+    if env_a:
+        add_vec(vecs["use_env"], vecs["env_active"], vecs["env_start"],
+                vecs["env_rel_at"], vecs["att"], vecs["dec"], vecs["sus"],
+                vecs["rel"], vecs["vel"])
+    add_vec(vecs["amp"])
+    if flt:
+        add_vec(vecs["b0"], vecs["b1"], vecs["b2"], vecs["na1"],
+                vecs["na2"], vecs["use_flt"])
+    if sm:
+        add_vec(vecs["use_sm"], vecs["smoothing"])
+    if am_self_f:
+        add_vec(vecs["am_self"], vecs["am_depth"])
+    if hold:
+        add_vec(vecs["hold_on"], vecs["hold_max"])
+    if quant:
+        add_vec(vecs["quant_on"], vecs["levels"], vecs["inv_levels"])
+    if flt:
+        add_vec(states["x1"], states["x2"], states["y1"], states["y2"])
+    if sm:
+        add_vec(states["smoother"])
+    if hold:
+        add_vec(states["hold_count"], states["hold_val"])
+
+    sds = lambda nn, dt: jax.ShapeDtypeStruct((nn, r, 128), dt)
+    out_specs = [seq, vec, vec]
+    out_shape = [sds(n, F32), sds(1, F32), sds(1, I32)]   # out, ph_end, cnt
+    names = ["out", "phase", "cnt"]
+    if finish:
+        out_specs.append(vec)
+        out_shape.append(sds(1, I32))
+        names.append("finished")
+    if flt:
+        for k in ("x1", "x2", "y1", "y2"):
+            out_specs.append(vec)
+            out_shape.append(sds(1, F32))
+            names.append(k)
+    if sm:
+        out_specs.append(vec)
+        out_shape.append(sds(1, F32))
+        names.append("smoother")
+    if hold:
+        out_specs += [vec, vec]
+        out_shape += [sds(1, I32), sds(1, F32)]
+        names += ["hold_count", "hold_val"]
+
+    outs = pl.pallas_call(
+        _tier_kernel_for(tuple(bool(x) for x in feat), bool(exact),
+                         UNROLL if n % UNROLL == 0 else 1, n, LANE_QUANTUM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((n, 8, 128), F32),      # phase
+                pltpu.VMEM((n, 8, 128), I32),      # idx
+                pltpu.VMEM((n, 8, 128), F32),      # f
+                pltpu.VMEM((SLOT_ROWS, 128), F32),  # table slot
+                pltpu.SMEM((1,), I32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(slot, cbase, *ins)
+    res = {}
+    for name, o in zip(names, outs):
+        res[name] = unwrap(o) if name == "out" else unwrap(o)[0]
+    return res.pop("out"), res

@@ -1,0 +1,112 @@
+"""Fused tier megakernel (kernels.tier_pallas) tests.
+
+The megakernel runs the whole per-voice DSP chain (reference hot loop
+synth.c:502-630) in one pallas_call per tier; these tests pin its
+numerics against the 3-kernel + XLA-glue path (itself corpus-validated
+against the reference C engine goldens).
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skred_tpu.assets import WaveBank
+from skred_tpu.engine import kernels
+from skred_tpu.engine.fused import render_fused
+from skred_tpu.host.timeline import compile_script
+from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+
+REF = pathlib.Path("/root/reference")
+
+
+def test_kdiv_correctly_rounded_from_perturbed_seed():
+    """_kdiv must produce the correctly-rounded f32 quotient (the f64
+    round-trip, i.e. render._div32) even when the reciprocal seed is off
+    by ±1 ulp — the TPU's native rcp error model."""
+    rng = np.random.default_rng(7)
+    # cz-realistic operand ranges plus random normal bit patterns
+    a = np.concatenate([
+        rng.uniform(0, 1.2e6, 200_000),
+        np.float32(0.5) * np.ones(100_000),
+        rng.uniform(0, 1.0, 200_000),
+    ]).astype(np.float32)
+    b = np.concatenate([
+        rng.uniform(1.0, 1.2e6, 200_000),
+        rng.uniform(1e-3, 1.0, 100_000),
+        rng.uniform(1e-3, 2.0, 200_000),
+    ]).astype(np.float32)
+    want = (a.astype(np.float64) / b.astype(np.float64)).astype(np.float32)
+    y0 = (1.0 / b).astype(np.float32)
+    for shift in (0, 1, -1):   # exact, +1 ulp, -1 ulp seeds
+        y = y0 if shift == 0 else np.frombuffer(
+            (y0.view(np.int32) + np.int32(shift)).tobytes(), np.float32)
+        got = np.asarray(jax.jit(kernels._kdiv_from)(
+            jnp.asarray(y), jnp.asarray(a), jnp.asarray(b)))
+        bad = got != want
+        assert not bad.any(), (
+            f"seed shift {shift}: {bad.sum()} wrong quotients, first "
+            f"{a[bad][:3]} / {b[bad][:3]} -> {got[bad][:3]} != {want[bad][:3]}")
+
+
+def _mega_vs_xla(lines_list, seconds=0.15, reps=2):
+    bank = WaveBank()
+    tls = []
+    for lines in lines_list * reps:
+        tls.append(compile_script(lines, seconds, bank=bank,
+                                  script_dir=REF))
+        assert tls[-1].fused_passes is not None
+    st = pack_stacked(stack_timelines(tls))
+    a = render_fused(st, use_pallas=False)
+    calls = [0]
+    orig = kernels.tier_pallas
+
+    def counted(*args, **kw):
+        calls[0] += 1
+        return orig(*args, **kw)
+
+    old = kernels.INTERPRET
+    kernels.INTERPRET = True
+    kernels.tier_pallas = counted
+    try:
+        b = render_fused(st, use_pallas=True)
+    finally:
+        kernels.INTERPRET = old
+        kernels.tier_pallas = orig
+    assert calls[0] > 0, "megakernel was gated off for every tier"
+    return float(np.abs(a - b).max())
+
+
+def test_mega_mixed_tables_nonuniform_slots():
+    """Rows binding different wavetables (procedural w0 vs Korg w35 vs
+    w42) land different table slots on adjacent lanes — exercises the
+    megakernel's per-slot-run DMA fallback, not just the uniform fast
+    path."""
+    d = _mega_vs_xla([
+        ["v0 w0 f440 a4 p0.2"],
+        ["v0 w35 f330 a4 p-0.2"],
+        ["v0 w42 f220 a3"],
+    ])
+    assert d == 0.0, f"mega vs xla maxdiff {d}"
+
+
+def test_mega_pcm_oneshot_medium_slot():
+    """One-shot PCM voices (w100+, 32768-sample medium slots) with
+    note-on velocity: finish bookkeeping + medium-table lookup."""
+    d = _mega_vs_xla([
+        ["v0 w100 n60 a4 l1 T"],
+        ["v0 w103 n55 a4 l0.8 T"],
+    ], seconds=0.2)
+    assert d == 0.0, f"mega vs xla maxdiff {d}"
+
+
+@pytest.mark.parametrize("script", ["2.sk", "33.sk", "909.sk", "75.sk"])
+def test_mega_corpus_scripts(script):
+    """Corpus scripts spanning fm/cz/am/pan mod, S&H, filters, envelopes,
+    sequencer PCM, sample loading: megakernel output must be bit-equal
+    to the 3-kernel + glue path."""
+    lines = (REF / script).read_text().splitlines()
+    d = _mega_vs_xla([lines], seconds=0.25, reps=1)
+    assert d == 0.0, f"{script}: mega vs xla maxdiff {d}"
