@@ -543,10 +543,28 @@ def fill_bucket(group: list, vp: int, min_reps: int = 4) -> list:
     # lifted to 1024 by the serial kernels' lane quantum already.
     target = 2048 if (vp <= 2 or vp > 8) else 1024
     reps = max(min_reps, -(-target // len(group)))
+    # order the distinct scripts by their table-binding signature:
+    # scripts bound to the same tables sit adjacent, so the megakernel's
+    # voice-major lane groups are slot-uniform (one table DMA + one
+    # vectorized sweep per grid step) even across the distinct head rows
+    group = sorted(group, key=_table_sig)
     rows = list(group)
     for tl in group:
         rows += [tl] * (reps - 1)
     return rows
+
+
+def _table_sig(tl) -> tuple:
+    """Table-binding signature of a timeline: the identity of the table
+    array each (segment, voice) slot binds.  Rows sharing a signature
+    share table slots after stack_timelines' identity dedup."""
+    sig = getattr(tl, "_table_sig", None)
+    if sig is None:
+        keys = np.asarray(tl.params["table_key"]).ravel()
+        arrs = tl.table_arrays
+        sig = tuple(id(arrs[k]) if 0 <= k < len(arrs) else -1 for k in keys)
+        tl._table_sig = sig
+    return sig
 
 
 def pad_segments_pow2(st: StackedTimelines) -> StackedTimelines:

@@ -87,19 +87,67 @@ def main():
               flush=True)
         return wall
 
-    full = run("full", {})
-    no_lut = run("lut stubbed", {"table_lookup_grouped": stub_lut,
-                                 "table_lookup_pallas": stub_lut})
-    no_fs = run("fs stubbed", {"filt_smooth_pallas": stub_fs})
-    no_ph = run("phase stubbed", {"phase_walk_pallas": stub_phase})
-    none = run("all stubbed (glue)", {"table_lookup_grouped": stub_lut,
-                                      "table_lookup_pallas": stub_lut,
-                                      "filt_smooth_pallas": stub_fs,
-                                      "phase_walk_pallas": stub_phase})
-    print(f"\nattribution (ms/block): lut {(full-no_lut)/blocks*1e3:.3f}  "
-          f"fs {(full-no_fs)/blocks*1e3:.3f}  "
-          f"phase {(full-no_ph)/blocks*1e3:.3f}  "
-          f"glue {none/blocks*1e3:.3f}")
+    def stub_tier(table3, slot, cbase, inc, dm, amod, vecs, states,
+                  feat=None, exact=False, n=None):
+        m = slot.shape[0]
+        out = inc if feat[0] else jnp.broadcast_to(vecs["amp"][None, :],
+                                                   (n, m))
+        res = {"phase": states["phase"],
+               "cnt": jnp.full((m,), n, jnp.int32)}
+        if feat[10]:
+            res["finished"] = states["finished"]
+        if feat[4]:
+            res.update({kk: states[kk] for kk in ("x1", "x2", "y1", "y2")})
+        if feat[5]:
+            res["smoother"] = states["smoother"]
+        if feat[6]:
+            res["hold_count"] = states["hold_count"]
+            res["hold_val"] = states["hold_val"]
+        return out, res
+
+    real["tier"] = K.tier_pallas
+    names_map = {"phase": "phase_walk_pallas", "fs": "filt_smooth_pallas",
+                 "lut": "table_lookup_grouped", "lut1": "table_lookup_pallas",
+                 "tier": "tier_pallas"}
+    # rebind run() to the extended map
+    def run(label, patch, mega=None):
+        for name, fn in real.items():
+            setattr(K, names_map[name], fn)
+        if mega is not None:
+            K.MEGA = mega
+        for name, fn in patch.items():
+            setattr(K, name, fn)
+        fused._fused_chunk_jit.clear_cache()
+        fused.render_fused_stream_device(st, CHUNK, warmup_only=True)
+        t0 = time.time()
+        fused.render_fused_stream_device(st, CHUNK)
+        wall = time.time() - t0
+        print(f"{label:26s} {wall:7.3f}s  {wall / blocks * 1e3:7.3f} ms/block",
+              flush=True)
+        return wall
+
+    full = run("full (megakernel)", {}, mega=True)
+    tier_glue = run("tier stubbed (glue)", {"tier_pallas": stub_tier},
+                    mega=True)
+    old = run("3-kernel path (MEGA off)", {}, mega=False)
+    no_lut = run("  lut stubbed", {"table_lookup_grouped": stub_lut,
+                                   "table_lookup_pallas": stub_lut},
+                 mega=False)
+    no_fs = run("  fs stubbed", {"filt_smooth_pallas": stub_fs}, mega=False)
+    no_ph = run("  phase stubbed", {"phase_walk_pallas": stub_phase},
+                mega=False)
+    none = run("  all stubbed (glue)", {"table_lookup_grouped": stub_lut,
+                                        "table_lookup_pallas": stub_lut,
+                                        "filt_smooth_pallas": stub_fs,
+                                        "phase_walk_pallas": stub_phase},
+               mega=False)
+    K.MEGA = True
+    print(f"\nmega: kernel {(full-tier_glue)/blocks*1e3:.3f} ms/block, "
+          f"glue {tier_glue/blocks*1e3:.3f}  |  old path {old/blocks*1e3:.3f}"
+          f" (lut {(old-no_lut)/blocks*1e3:.3f}  "
+          f"fs {(old-no_fs)/blocks*1e3:.3f}  "
+          f"phase {(old-no_ph)/blocks*1e3:.3f}  "
+          f"glue {none/blocks*1e3:.3f})")
 
 
 if __name__ == "__main__":

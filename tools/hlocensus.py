@@ -95,7 +95,8 @@ def main():
         carry, params, ops, sob, sis, table, n, jnp.int32(0),
         num_blocks=CHUNK, block=st.block, mod_passes=st.fused_passes,
         exact=True, use_pallas=True, n_src=st.n_src, feat=feat,
-        tiers=st.tiers, feat_tiers=fts)
+        tiers=st.tiers, feat_tiers=fts,
+        mega_tiers=fused._mega_tiers(st))
     compiled = lowered.compile()
     txt = compiled.as_text()
     out_path = pathlib.Path("/tmp/hlo_census.txt")

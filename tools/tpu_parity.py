@@ -123,11 +123,14 @@ def main() -> None:
         outs = {}
         out_len = None
         for key, group in sorted(buckets.items()):
-            gn = [n for n, _ in group]
             vp = key[0]
             # forward the same replicas bench.py passes so the validated
             # batch shape is exactly the benched one (--replicas N)
             rows = fill_bucket([tl for _, tl in group], vp, replicas)
+            # fill_bucket orders the distinct head rows by table-binding
+            # signature — recover each head row's script by identity
+            by_id = {id(tl): n for n, tl in group}
+            gn = [by_id[id(tl)] for tl in rows[:len(group)]]
             st = pack_stacked(stack_timelines(rows))
             # pad the batch to the same quantum the bench's device-stream
             # entry applies, by replicating the last row — identical
