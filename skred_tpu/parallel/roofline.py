@@ -99,12 +99,47 @@ def estimate_bucket(st, feat_tiers=None) -> BucketCost:
     bounds = np.cumsum((0,) + tuple(tiers))
     toff = np.asarray(st.params["table_off"])[:, 0, :]      # [B, Vp] seg 0
 
+    from skred_tpu.engine.fused import _mega_tiers
+
+    mts = _mega_tiers(st) or ()
     passes = 1 if st.tiers else max(st.fused_passes or 1, 1)
-    for (lo, hi), ft in zip(zip(bounds[:-1], bounds[1:]), fts):
+    for ti, ((lo, hi), ft) in enumerate(zip(zip(bounds[:-1], bounds[1:]),
+                                            fts)):
         vt = int(hi - lo)
         L = B * vt
         ls = L * N * f32                 # one [lanes, N] f32 tensor
         mods = ft.fm + (ft.cz and ft.czm) + ft.am + ft.pm
+        mega = bool(mts[ti]) if ti < len(mts) else False
+        if mega and not ft.noise:
+            # fused tier kernel: HBM traffic is the input streams
+            # (fm inc / czm dm / am amod), the sample output, the table
+            # slot DMAs and the per-lane param vectors; all inter-stage
+            # tensors live in VMEM.  Serial + sweep FLOPs unchanged.
+            from skred_tpu.engine.kernels import LANE_QUANTUM
+
+            for _ in range(passes):
+                if mods:                         # read einsums stay in XLA
+                    total_bytes += (mods + 1) * ls
+                    total_flops += 2.0 * B * mods * vt * Vp * N
+                streams = (1 if ft.fm else 0) + (1 if (ft.cz and ft.czm)
+                                                 else 0) + (1 if ft.am else 0)
+                total_bytes += (streams + 1) * ls + 40 * L * f32
+                kops = (_OPS["phase"]
+                        + (_OPS["phase_fin"] if ft.finish else 0)
+                        + (_OPS["cz"] if ft.cz else 0)
+                        + (_OPS["env"] if ft.env else 0)
+                        + (_OPS["fma_exact"] * 4 + 10 if ft.flt else 2)
+                        + (_OPS["hold"] if ft.hold else 0)
+                        + (_OPS["quant"] if ft.quant else 0)
+                        + (_OPS["sm"] + _OPS["fma_exact"] if ft.sm else 0))
+                total_flops += L * N * kops
+                slots = (toff[:, lo:hi].T // 32768)
+                lut_dma += _runs(slots) * 32768 * f32
+                lut_steps += -(-L // LANE_QUANTUM)
+                # pan + contribution masking stay in XLA
+                total_bytes += 2 * ls
+                total_flops += L * N * 8
+            continue
 
         for _ in range(passes):
             # modulator reads: sel one-hot matmul (bytes: est read + K
