@@ -1074,7 +1074,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                         cp.wait()
                         cur[0] = s_l
 
-                    sel = jnp.tile(slot_v[0] == s_l, (n, 1))
+                    sel = jnp.broadcast_to((slot_v[0] == s_l)[None],
+                                           (n, sub, 128)) \
+                        .reshape(n * sub, 128)
                     acc = f_s[...].reshape(n * sub, 128)
                     f_s[...] = sweep(sel, acc).reshape(n, sub, 128)
 
