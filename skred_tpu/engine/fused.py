@@ -357,9 +357,12 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
 
     if use_pallas and mega and not feat.noise:
         return _mega_pass(carry, p, counts, table_buffer, exact, feat, N,
-                          B, V_, inc, inc_row,
+                          B, V_, inc_row,
                           reads if read_specs else {}, active0, fin_prev,
-                          adv_v, lo, hi, L, os_noloop, tsize_f)
+                          adv_v, lo, hi, L, os_noloop, tsize_f,
+                          use_fm=use_fm if feat.fm else None,
+                          mis=(mod_inc * p["freq_scale"]) if feat.fm
+                          else None)
 
     B_ = B
     if use_pallas:
@@ -717,8 +720,8 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
 
 
 def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
-               inc, inc_row, reads, active0, fin_prev, adv_v,
-               lo, hi, L, os_noloop, tsize_f):
+               inc_row, reads, active0, fin_prev, adv_v,
+               lo, hi, L, os_noloop, tsize_f, use_fm=None, mis=None):
     """Single-pallas-call tier pass (kernels.tier_pallas): the whole
     per-voice DSP chain — phase walk, CZ warp, table lookup, envelope,
     S&H/quant/biquad/smoother — in one VMEM-resident kernel.  Replaces
@@ -782,29 +785,37 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
         states["hold_count"] = i32v(carry["hold_count"])
         states["hold_val"] = f32v(carry["hold_val"])
 
-    inc_in = K.to_vm_seq(inc) if feat.fm else f32v(inc_row)
+    # raw modulator-read streams: inc/dm/amod arithmetic happens
+    # in-kernel (bit-equal fma/mult order), not as [B,V,N] XLA glue
+    if feat.fm:
+        inc_in = K.to_vm_seq(reads["fm"])
+        vecs.update(use_fm=i32v(use_fm), mis=f32v(mis),
+                    pinc=f32v(p["phase_inc"]),
+                    fm_depth=f32v(p["freq_mod_depth"]))
+        if feat.direction:
+            vecs["dirneg"] = i32v(p["direction"] != 0)
+    else:
+        inc_in = f32v(inc_row)
     if feat.cz and feat.czm:
-        cm = p["cz_mod_osc"]
-        dm = jnp.where((cm >= 0)[..., None],
-                       reads["cz"] * p["cz_mod_depth"][..., None], F32(1.0))
-        dm_in = K.to_vm_seq(dm)
+        dm_in = K.to_vm_seq(reads["cz"])
+        vecs.update(cm_ge0=i32v(p["cz_mod_osc"] >= 0),
+                    cz_depth=f32v(p["cz_mod_depth"]))
     elif feat.cz:
         dm_in = f32v(jnp.where(p["cz_mod_osc"] >= 0, F32(0.0), F32(1.0)))
     else:
         dm_in = None
     if feat.am:
-        am = p["amp_mod_osc"]
-        amod = jnp.where((am >= 0)[..., None],
-                         reads["am"] * p["amp_mod_depth"][..., None],
-                         F32(1.0))
-        amod_in = K.to_vm_seq(amod)
+        amod_in = K.to_vm_seq(reads["am"])
+        vecs.update(am_ge0=i32v(p["amp_mod_osc"] >= 0),
+                    am_depth_a=f32v(p["amp_mod_depth"]))
     else:
         amod_in = None
     cbase = counts[:1] if feat.env else jnp.zeros((1,), I32)
     table3 = table_buffer.reshape(-1, 256, 128)
 
     mfeat = (feat.fm, feat.cz, feat.czm, feat.env, feat.flt, feat.sm,
-             feat.hold, feat.quant, feat.am, feat.am_self, feat.finish)
+             feat.hold, feat.quant, feat.am, feat.am_self, feat.finish,
+             feat.direction)
     out, res = K.tier_pallas(table3, slot, cbase, inc_in, dm_in, amod_in,
                              vecs, states, feat=mfeat, exact=exact, n=N)
     fvv = lambda a: K.from_vm_vec(a, B, V_)

@@ -850,7 +850,8 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
          (synth.c:560-592) reading f from scratch, envelope closed-form
          in-kernel (amplitude-only → native divide is enough)
     """
-    fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish = feat
+    (fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish,
+     dirn) = feat
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
     sub = g_lanes // 128                     # sublane rows per step (8)
 
@@ -859,10 +860,18 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         slot_sm = next(it)                   # [M] prefetch (SMEM)
         cbase_sm = next(it)                  # [1] prefetch (SMEM)
         tab_ref = next(it)                   # HBM [S, 256, 128]
-        inc_ref = next(it)                   # seq (fm) or vec
+        inc_ref = next(it)                   # fm: RAW fm-read stream; else vec inc
+        if fm:
+            usefm_v, mis_v = next(it), next(it)
+            pinc_v, fmdep_v = next(it), next(it)
+            dir_v = next(it) if dirn else None
         dm_ref = next(it) if (cz and czm) else None
+        if cz and czm:
+            cmge_v, czdep_v = next(it), next(it)
         dmv_ref = next(it) if (cz and not czm) else None
         amod_ref = next(it) if am_a else None
+        if am_a:
+            amge_v, amdep_a_v = next(it), next(it)
         slot_v = next(it)                    # vec i32
         base_v = next(it)                    # vec i32 (table_off % 32768)
         clip_v = next(it)                    # vec i32 (table_size-1 >= 0)
@@ -929,13 +938,29 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         if finish:
             osn = osn_v[0] != 0
             one_shot = osh_v[0] != 0
-        if not fm:
+        if fm:
+            # FM increment built in-kernel from the raw modulator-read
+            # stream (synth.c:548-555): inc = fma(mod_inc·scale,
+            # read·depth, phase_inc), bit-equal to the old XLA glue
+            use_fm = usefm_v[0] != 0
+            mis = mis_v[0]
+            pinc = pinc_v[0]
+            fmdep = fmdep_v[0]
+            if dirn:
+                dirneg = dir_v[0] != 0
+        else:
             inc_const = inc_ref[0]
 
         # ---- phase 1: serial phase walk + alive count ----
         def pbody(t, carry):
             ph_c, fin_c, cnt_c = carry
-            inc_t = inc_ref[t] if fm else inc_const
+            if fm:
+                g = inc_ref[t] * fmdep
+                inc_t = jnp.where(use_fm, fma(mis, g, pinc), pinc)
+                if dirn:
+                    inc_t = jnp.where(dirneg, -inc_t, inc_t)
+            else:
+                inc_t = inc_const
             ph = ph_c + inc_t
             bad = ~jnp.isfinite(ph)
             over = ph >= hi
@@ -991,7 +1016,10 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             mode_row = czmode_v[0]
             dist_row = czdist_v[0]
             tsz_row = tsize_v[0]
-            if not czm:
+            if czm:
+                cm_ge = cmge_v[0] != 0
+                czdep = czdep_v[0]
+            else:
                 d_row = dist_row + dmv_ref[0]
         TC = 128 if n % 128 == 0 else n
 
@@ -1000,7 +1028,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             ph3 = ph_s[pl.ds(t0, TC)]                  # (TC, sub, 128)
             if cz:
                 if czm:
-                    d3 = dist_row[None] + dm_ref[pl.ds(t0, TC)]
+                    # dm from the raw modulator read (synth.c:263-264)
+                    dm3 = jnp.where(cm_ge[None],
+                                    dm_ref[pl.ds(t0, TC)] * czdep[None],
+                                    F32(1.0))
+                    d3 = dist_row[None] + dm3
                 else:
                     d3 = jnp.broadcast_to(d_row[None], ph3.shape)
                 warped = _cz_warp_k(mode_row[None], ph3, d3, tsz_row[None])
@@ -1094,6 +1126,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         if sm:
             use_sm = usm_v[0] != 0
             smoothing = smo_v[0]
+        if am_a:
+            am_ge = amge_v[0] != 0
+            amdep_a = amdep_a_v[0]
         if am_self_f:
             am_self = amself_v[0] != 0
             am_depth = amdep_v[0]
@@ -1152,7 +1187,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             else:
                 s3 = x_t
                 nx1, nx2, ny1, ny2 = x1, x2, y1, y2
-            amod = amod_ref[t] if am_a else F32(1.0)
+            if am_a:
+                # ampmod from the raw modulator read (synth.c:584-587)
+                amod = jnp.where(am_ge, amod_ref[t] * amdep_a, F32(1.0))
+            else:
+                amod = F32(1.0)
             if am_self_f:
                 amod = jnp.where(am_self, s3 * am_depth, amod)
             if env_a:
@@ -1245,7 +1284,8 @@ def tier_pallas(table3, slot, cbase, inc, dm, amod, vecs, states,
 
     Returns (out [N, M], dict of end-state [M] vectors incl. ``cnt`` —
     the alive-prefix length per lane)."""
-    fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish = feat
+    (fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish,
+     dirn) = feat
     m = slot.shape[0]
     assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
     r = m // 128
@@ -1269,15 +1309,20 @@ def tier_pallas(table3, slot, cbase, inc, dm, amod, vecs, states,
             in_specs.append(vec)
 
     if fm:
-        add_seq(inc)
+        add_seq(inc)                      # raw fm-read stream
+        add_vec(vecs["use_fm"], vecs["mis"], vecs["pinc"], vecs["fm_depth"])
+        if dirn:
+            add_vec(vecs["dirneg"])
     else:
         add_vec(inc)
     if cz and czm:
-        add_seq(dm)
+        add_seq(dm)                       # raw cz-read stream
+        add_vec(vecs["cm_ge0"], vecs["cz_depth"])
     elif cz:
         add_vec(dm)
     if am_a:
-        add_seq(amod)
+        add_seq(amod)                     # raw am-read stream
+        add_vec(vecs["am_ge0"], vecs["am_depth_a"])
     add_vec(slot, vecs["base_off"], vecs["clip_i"], states["phase"],
             vecs["adv"], vecs["lo"], vecs["hi"], vecs["L"])
     if finish:
