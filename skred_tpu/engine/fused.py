@@ -736,7 +736,8 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
     i32v = lambda a: tvv(jnp.asarray(a).astype(I32))
     f32v = lambda a: tvv(jnp.asarray(a).astype(F32))
     vecs = {
-        "base_off": i32v(p["table_off"] % 32768),
+        "base_off": i32v(p["table_off"]),   # FULL flat offset: the kernel
+        # resolves global indices via windowed DMA (any table size)
         "clip_i": i32v(jnp.maximum(p["table_size"] - 1, 0)),
         "adv": i32v(adv_v), "act": i32v(active0),
         "lo": f32v(lo), "hi": f32v(hi), "L": f32v(L),
@@ -811,12 +812,12 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
     else:
         amod_in = None
     cbase = counts[:1] if feat.env else jnp.zeros((1,), I32)
-    table3 = table_buffer.reshape(-1, 256, 128)
+    tab2 = table_buffer.reshape(-1, 128)
 
     mfeat = (feat.fm, feat.cz, feat.czm, feat.env, feat.flt, feat.sm,
              feat.hold, feat.quant, feat.am, feat.am_self, feat.finish,
              feat.direction)
-    out, res = K.tier_pallas(table3, slot, cbase, inc_in, dm_in, amod_in,
+    out, res = K.tier_pallas(tab2, slot, cbase, inc_in, dm_in, amod_in,
                              vecs, states, feat=mfeat, exact=exact, n=N)
     fvv = lambda a: K.from_vm_vec(a, B, V_)
     samples = K.from_vm_seq(out, B, V_)
@@ -1116,21 +1117,17 @@ def _feat_tiers(st):
 def _mega_tiers(st):
     """Static per-tier megakernel eligibility (None = megakernel off).
 
-    A tier runs the fused tier kernel unless a lane binds a table larger
-    than the 32768-sample slot the kernel DMAs whole (rare large PCM —
-    those tiers keep the 3-kernel path with the XLA gather roster).
-    Noise-alt tiers are gated by feat.noise inside _voice_block_pass."""
+    Every tier is eligible: the kernel's windowed table DMA resolves
+    global flat indices at dynamic row offsets, so tables of any size
+    (large PCM included) stream through the fused path.  Noise-alt
+    tiers are gated by feat.noise inside _voice_block_pass."""
     from skred_tpu.engine import kernels as K
 
     if not K.MEGA:
         return None
-    ts = np.asarray(st.params["table_size"])
     if st.tiers and len(st.tiers) > 1:
-        bounds = np.cumsum((0,) + tuple(st.tiers))
-        return tuple(
-            not (ts[:, :, int(bounds[i]):int(bounds[i + 1])] > 32768).any()
-            for i in range(len(st.tiers)))
-    return (not (ts > 32768).any(),)
+        return tuple(True for _ in st.tiers)
+    return (True,)
 
 
 def _pad_quantum(st, Vp):

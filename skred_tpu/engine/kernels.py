@@ -842,10 +842,13 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
       1. serial phase walk (osc_next synth.c:217-258) → ph scratch,
          alive-prefix count per lane (dead is monotone within a block)
       2. vector CZ warp + index clip + dead masking → idx scratch
-      3. table lookup from a VMEM slot scratch: one DMA per distinct
-         32768-sample slot per step (uniform fast path: ONE masked-row
-         sweep vectorized over all lanes; non-uniform steps loop over
-         slot runs with lane masks — no per-lane sweeps, no transposes)
+         (GLOBAL flat buffer indices: base offset + in-table index)
+      3. table lookup from a VMEM window scratch: per run of same-table
+         lanes, DMA the 32768-sample window(s) between the step's min
+         and max rows at a dynamic offset — tables of ANY size resolve
+         in-kernel (uniform fast path: ONE masked-row sweep vectorized
+         over all lanes; non-uniform steps loop over slot runs with
+         lane masks — no per-lane sweeps, no transposes)
       4. serial S&H + quantize + biquad + envelope + smoother
          (synth.c:560-592) reading f from scratch, envelope closed-form
          in-kernel (amplitude-only → native divide is enough)
@@ -859,7 +862,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         it = iter(refs)
         slot_sm = next(it)                   # [M] prefetch (SMEM)
         cbase_sm = next(it)                  # [1] prefetch (SMEM)
-        tab_ref = next(it)                   # HBM [S, 256, 128]
+        tab_ref = next(it)                   # HBM [R, 128] flat buffer
         inc_ref = next(it)                   # fm: RAW fm-read stream; else vec inc
         if fm:
             usefm_v, mis_v = next(it), next(it)
@@ -872,8 +875,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         amod_ref = next(it) if am_a else None
         if am_a:
             amge_v, amdep_a_v = next(it), next(it)
-        slot_v = next(it)                    # vec i32
-        base_v = next(it)                    # vec i32 (table_off % 32768)
+        slot_v = next(it)                    # vec i32 (table_off // 32768,
+                                             #          run/uniform detection)
+        base_v = next(it)                    # vec i32 (FULL flat table_off)
         clip_v = next(it)                    # vec i32 (table_size-1 >= 0)
         phase0_v = next(it)
         adv_v = next(it)
@@ -1049,43 +1053,73 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody, 0)
 
-        # ---- phase 3: table lookup (per-distinct-slot DMA + masked
-        # row sweeps over the whole step's lanes) ----
+        # ---- phase 3: table lookup (windowed DMA: idx_s holds GLOBAL
+        # flat buffer indices, so tables of ANY size resolve here — each
+        # run of same-table lanes fetches the 32768-sample window(s) its
+        # step's index range actually touches, at a dynamic row offset.
+        # A one-shot PCM voice advances ~block samples per step (a few
+        # 128-entry rows), so big samples stream window-by-window; only
+        # full-wrap oscillators over >32768-sample tables pay multiple
+        # windows per step) ----
         idx2 = idx_s[...].reshape(n * sub, 128)
-        hi2 = jax.lax.shift_right_logical(idx2, jnp.int32(7))
+        grow = jax.lax.shift_right_logical(idx2, jnp.int32(7))
         lo2 = jax.lax.bitwise_and(idx2, jnp.int32(127))
+        rtot = tab_ref.shape[0]              # static total buffer rows
         dnums = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
             operand_batching_dims=(0,), start_indices_batching_dims=(0,))
 
-        def sweep(sel, acc):
-            hi_m = jnp.where(sel, hi2, jnp.int32(SLOT_ROWS))
-            lo_m = jnp.where(sel, hi2, jnp.int32(0))
+        def sweep(sel, row0, acc):
+            hw = grow - row0                 # window-relative rows
+            inw = sel & (hw >= 0) & (hw < jnp.int32(SLOT_ROWS))
+            hi_m = jnp.where(inw, hw, jnp.int32(SLOT_ROWS))
+            lo_m = jnp.where(inw, hw, jnp.int32(0))
 
             def row(c, a):
                 bc = jnp.broadcast_to(tab_s[pl.ds(c, 1), :], idx2.shape)
                 g = jax.lax.gather(
                     bc, lo2[..., None], dnums, slice_sizes=(1, 1),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-                return jnp.where(sel & (hi2 == c), g, a)
+                return jnp.where(inw & (hw == c), g, a)
 
             return jax.lax.fori_loop(jnp.min(hi_m), jnp.max(lo_m)
                                      + jnp.int32(1), row, acc)
+
+        def serve(sel, acc):
+            """Windowed lookup for the ``sel`` lanes: fetch each 32768-
+            sample window between the selected rows' min and max, sweep
+            the rows present.  The window base is 64-row aligned so a
+            PCM play-head advancing a few rows per step keeps hitting
+            the cached window (``cur``) instead of re-fetching."""
+            rmin = jnp.min(jnp.where(sel, grow, jnp.int32(1 << 30)))
+            rmax = jnp.max(jnp.where(sel, grow, jnp.int32(0)))
+            r0 = jax.lax.bitwise_and(rmin, jnp.int32(-64))
+            nwin = jax.lax.shift_right_logical(rmax - r0, jnp.int32(8)) \
+                + jnp.int32(1)
+
+            def win(w, a):
+                row0 = jnp.minimum(r0 + w * jnp.int32(SLOT_ROWS),
+                                   jnp.int32(rtot - SLOT_ROWS))
+
+                @pl.when(row0 != cur[0])
+                def _fetch():
+                    cp = pltpu.make_async_copy(
+                        tab_ref.at[pl.ds(row0, SLOT_ROWS)], tab_s, sem)
+                    cp.start()
+                    cp.wait()
+                    cur[0] = row0
+
+                return sweep(sel, row0, a)
+
+            return jax.lax.fori_loop(jnp.int32(0), nwin, win, acc)
 
         s0 = slot_sm[p * g_lanes]
         uniform = jnp.all(slot_v[0] == s0)
 
         @pl.when(uniform)
-        def _one_slot():
-            @pl.when(s0 != cur[0])
-            def _fetch():
-                cp = pltpu.make_async_copy(tab_ref.at[s0], tab_s, sem)
-                cp.start()
-                cp.wait()
-                cur[0] = s0
-
+        def _one_table():
             full = jnp.ones(idx2.shape, jnp.bool_)
-            f_s[...] = sweep(full, jnp.zeros(idx2.shape, F32)) \
+            f_s[...] = serve(full, jnp.zeros(idx2.shape, F32)) \
                 .reshape(n, sub, 128)
 
         @pl.when(jnp.logical_not(uniform))
@@ -1098,19 +1132,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
 
                 @pl.when(start)
                 def _run():
-                    @pl.when(s_l != cur[0])
-                    def _fetch():
-                        cp = pltpu.make_async_copy(tab_ref.at[s_l], tab_s,
-                                                   sem)
-                        cp.start()
-                        cp.wait()
-                        cur[0] = s_l
-
                     sel = jnp.broadcast_to((slot_v[0] == s_l)[None],
                                            (n, sub, 128)) \
                         .reshape(n * sub, 128)
                     acc = f_s[...].reshape(n * sub, 128)
-                    f_s[...] = sweep(sel, acc).reshape(n, sub, 128)
+                    f_s[...] = serve(sel, acc).reshape(n, sub, 128)
 
                 return 0
 
@@ -1266,16 +1292,18 @@ def _tier_kernel_for(feat, exact, unroll, n, g_lanes):
 
 
 @functools.partial(jax.jit, static_argnames=("feat", "exact", "n"))
-def tier_pallas(table3, slot, cbase, inc, dm, amod, vecs, states,
+def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
                 feat=None, exact=False, n=None):
     """One fused tier pass (see _make_tier_kernel).
 
-    table3: [S, 256, 128] f32 — the stacked table buffer viewed as
-    32768-sample slots (tables are slot-aligned by stack_timelines);
+    tab2: [R, 128] f32 — the stacked table buffer as flat 128-sample
+    rows; lookups use global flat indices (vecs["base_off"] = full
+    table_off) and DMA 32768-sample windows at dynamic row offsets, so
+    tables larger than one window stream through the kernel too;
     slot: [M] i32 per-lane slot id (table_off // 32768), scalar-prefetched
-    for the per-run DMA; cbase: [1] i32 global sample count base of this
-    block (envelope closed form); inc: [N, M] (fm) or [M]; dm: [N, M]
-    (czm) / [M] (cz, no mod edges) / None; amod: [N, M] or None.
+    for same-table run detection; cbase: [1] i32 global sample count base
+    of this block (envelope closed form); inc: [N, M] (fm) or [M]; dm:
+    [N, M] (czm) / [M] (cz, no mod edges) / None; amod: [N, M] or None.
 
     vecs: dict of per-lane [M] parameter vectors (voice-major — see
     to_vm_vec); states: dict of per-lane [M] carried DSP state.  ``feat``
@@ -1296,7 +1324,7 @@ def tier_pallas(table3, slot, cbase, inc, dm, amod, vecs, states,
     wvec = lambda a: a.reshape(1, r, 128)
     unwrap = lambda a: a.reshape(a.shape[0], m)
 
-    ins = [table3]
+    ins = [tab2]
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
 
     def add_seq(a):

@@ -102,7 +102,20 @@ def test_mega_pcm_oneshot_medium_slot():
     assert d == 0.0, f"mega vs xla maxdiff {d}"
 
 
-@pytest.mark.parametrize("script", ["2.sk", "33.sk", "909.sk", "75.sk"])
+def test_mega_big_table_wavetable_loop():
+    """A looping voice over a >32768-sample PCM table wraps the whole
+    table every few blocks — the per-step index range spans several
+    32768-sample windows, exercising the megakernel's multi-window DMA
+    loop (not just the streaming play-head case)."""
+    d = _mega_vs_xla([
+        ["v0 w100 f440 a4 l1 T"],            # large AMY PCM, looped
+        ["v0 w100 f93.7 a4 l1 T"],
+    ], seconds=0.2)
+    assert d == 0.0, f"mega vs xla maxdiff {d}"
+
+
+@pytest.mark.parametrize("script", ["2.sk", "33.sk", "909.sk", "75.sk",
+                                    "65.sk", "48.sk", "10.sk"])
 def test_mega_corpus_scripts(script):
     """Corpus scripts spanning fm/cz/am/pan mod, S&H, filters, envelopes,
     sequencer PCM, sample loading: megakernel output must be bit-equal
