@@ -238,9 +238,12 @@ def _cz_phasor(mode, ph, d, tsize):
                    _fma32(phase - half, sc5b, half))
     m6 = _fast_pow(phase, one + F32(4.0) * d)
     m7 = _fast_pow(phase, one + F32(8.0) * d)
-    out = jnp.select([mode == 1, mode == 2, mode == 3, mode == 4,
-                      mode == 5, mode == 6, mode == 7],
-                     [m1, m2, m3, m4, m5, m6, m7], default=phase)
+    # first-match where chain, NOT jnp.select (x64 makes select's argmax
+    # index i64; modes are mutually exclusive so the order is free)
+    out = phase
+    for k, mk in ((7, m7), (6, m6), (5, m5), (4, m4), (3, m3), (2, m2),
+                  (1, m1)):
+        out = jnp.where(mode == k, mk, out)
     return out * tsize
 
 

@@ -800,9 +800,12 @@ def _cz_warp_k(mode, ph, d, tsize):
                    _kfma(phase - half, sc5b, half))
     m6 = _k_fast_pow(phase, one + F32(4.0) * d)
     m7 = _k_fast_pow(phase, one + F32(8.0) * d)
-    out = jnp.select([mode == 1, mode == 2, mode == 3, mode == 4,
-                      mode == 5, mode == 6, mode == 7],
-                     [m1, m2, m3, m4, m5, m6, m7], default=phase)
+    # first-match where chain, NOT jnp.select: select lowers to an
+    # argmax whose default i64 index dtype Mosaic cannot convert
+    out = phase
+    for k, mk in ((7, m7), (6, m6), (5, m5), (4, m4), (3, m3), (2, m2),
+                  (1, m1)):
+        out = jnp.where(mode == k, mk, out)
     return out * tsize
 
 
@@ -1043,15 +1046,17 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                 idx_f = jnp.where((mode_row != 0)[None], warped, ph3)
             else:
                 idx_f = ph3
-            idx = jnp.clip(idx_f.astype(I32), 0, clip_row[None])
+            idx = jnp.clip(idx_f.astype(I32), jnp.int32(0), clip_row[None])
             tpos = (jax.lax.broadcasted_iota(I32, ph3.shape, 0)
                     + t0)
             alive3 = tpos < cnt_e[None]
-            idx = jnp.where(alive3, idx, 0)
+            idx = jnp.where(alive3, idx, jnp.int32(0))
             idx_s[pl.ds(t0, TC)] = base_row[None] + idx
-            return 0
+            return jnp.int32(0)   # typed: x64 makes a bare 0 an i64 carry,
+            # which Mosaic's convert lowering cannot handle
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody,
+                          jnp.int32(0))
 
         # ---- phase 3: table lookup (windowed DMA: idx_s holds GLOBAL
         # flat buffer indices, so tables of ANY size resolve here — each
@@ -1114,7 +1119,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             return jax.lax.fori_loop(jnp.int32(0), nwin, win, acc)
 
         s0 = slot_sm[p * g_lanes]
-        uniform = jnp.all(slot_v[0] == s0)
+        # i32 max-reduction, not jnp.all: Mosaic's bool all-reduce lowers
+        # through a 64-bit scalar under x64
+        uniform = jnp.max(jnp.abs(slot_v[0] - s0)) == jnp.int32(0)
 
         @pl.when(uniform)
         def _one_table():
@@ -1138,10 +1145,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                     acc = f_s[...].reshape(n * sub, 128)
                     f_s[...] = serve(sel, acc).reshape(n, sub, 128)
 
-                return 0
+                return jnp.int32(0)
 
             f_s[...] = jnp.zeros((n, sub, 128), F32)
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(g_lanes), lane, 0)
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(g_lanes), lane,
+                              jnp.int32(0))
 
         # ---- phase 4: serial S&H + quant + biquad + env + smoother ----
         amp = amp_v[0]

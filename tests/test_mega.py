@@ -70,6 +70,10 @@ def _mega_vs_xla(lines_list, seconds=0.15, reps=2):
     old = kernels.INTERPRET
     kernels.INTERPRET = True
     kernels.tier_pallas = counted
+    # the counted wrapper only fires on a fresh trace: an identically
+    # shaped/static program compiled by an earlier test would come back
+    # from the jit cache without calling it
+    jax.clear_caches()
     try:
         b = render_fused(st, use_pallas=True)
     finally:
