@@ -16,6 +16,7 @@ mmf_process synth.c:349-364, smoother synth.c:589-592).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -173,6 +174,32 @@ INTERPRET = False    # set True to run kernels in interpreter mode (tests)
 
 
 LANE_QUANTUM = 8 * 128   # lanes per (8,128)-vreg serial-kernel grid step
+
+MEGA_SUB_MAX = int(os.environ.get("SKRED_MEGA_SUB", "32"))
+#                          max sublane rows per megakernel grid step: wider
+#                          steps carry several independent (8,128) vregs
+#                          through the serial sample loops, overlapping
+#                          their dependency chains (the loops are latency-
+#                          bound, not issue-bound).  Read at trace time —
+#                          tests that change it must jax.clear_caches().
+
+MEGA_VMEM_BUDGET = 96 * 1024 * 1024   # leave headroom under the 128 MiB
+#                                       v5e VMEM for Mosaic temporaries
+
+
+def _mega_sub(m, n, n_seq):
+    """Sublane rows per megakernel grid step: the widest multiple-of-8
+    width w such that (a) w*128 divides the lane count, (b) the kernel's
+    per-step VMEM footprint — 3 scratch planes plus the double-buffered
+    per-sample streams, all (n, w, 128) f32 — stays under budget."""
+    best = 8
+    w = 16
+    while w <= MEGA_SUB_MAX:
+        plane = n * w * 128 * 4
+        if m % (w * 128) == 0 and (3 + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET:
+            best = w
+        w *= 2
+    return best
 
 
 def _lane_specs(m, n):
@@ -1028,7 +1055,13 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                 czdep = czdep_v[0]
             else:
                 d_row = dist_row + dmv_ref[0]
-        TC = 128 if n % 128 == 0 else n
+        # chunk so the (TC, sub, 128) vector temporaries stay ~0.5 MB
+        # regardless of step width
+        TC = n
+        for c in (128, 64, 32, 16):
+            if n % c == 0 and c * sub <= 1024:
+                TC = c
+                break
 
         def cbody(q, _):
             t0 = q * jnp.int32(TC)
@@ -1065,91 +1098,110 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         # A one-shot PCM voice advances ~block samples per step (a few
         # 128-entry rows), so big samples stream window-by-window; only
         # full-wrap oscillators over >32768-sample tables pay multiple
-        # windows per step) ----
-        idx2 = idx_s[...].reshape(n * sub, 128)
-        grow = jax.lax.shift_right_logical(idx2, jnp.int32(7))
-        lo2 = jax.lax.bitwise_and(idx2, jnp.int32(127))
+        # windows per step.
+        # Granularity: one (8,128) SUB-BLOCK at a time even when the
+        # serial phases run sub=16/32 wide — a wide step spans several
+        # voices' lane-blocks, and a single step-wide uniform check would
+        # push every voice into the slot-run path with step-wide masked
+        # sweeps (measured 11-42% regressions on multi-script buckets).
+        # Per-sub-block checks keep lookup cost identical to the sub=8
+        # layout at any width; consecutive sub-blocks of the same table
+        # hit the cached window (``cur``) without a new DMA. ----
         rtot = tab_ref.shape[0]              # static total buffer rows
         dnums = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
             operand_batching_dims=(0,), start_indices_batching_dims=(0,))
 
-        def sweep(sel, row0, acc):
-            hw = grow - row0                 # window-relative rows
-            inw = sel & (hw >= 0) & (hw < jnp.int32(SLOT_ROWS))
-            hi_m = jnp.where(inw, hw, jnp.int32(SLOT_ROWS))
-            lo_m = jnp.where(inw, hw, jnp.int32(0))
+        def lookup_block(sb):
+            """Uniform-check + windowed lookup for sub-block ``sb`` (8
+            sublane rows = LANE_QUANTUM lanes) of this grid step."""
+            rows = slice(8 * sb, 8 * (sb + 1))
+            idx2 = idx_s[:, rows, :].reshape(n * 8, 128)
+            grow = jax.lax.shift_right_logical(idx2, jnp.int32(7))
+            lo2 = jax.lax.bitwise_and(idx2, jnp.int32(127))
+            slot_blk = slot_v[0][rows]       # (8, 128)
 
-            def row(c, a):
-                bc = jnp.broadcast_to(tab_s[pl.ds(c, 1), :], idx2.shape)
-                g = jax.lax.gather(
-                    bc, lo2[..., None], dnums, slice_sizes=(1, 1),
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-                return jnp.where(inw & (hw == c), g, a)
+            def sweep(sel, row0, acc):
+                hw = grow - row0             # window-relative rows
+                inw = sel & (hw >= 0) & (hw < jnp.int32(SLOT_ROWS))
+                hi_m = jnp.where(inw, hw, jnp.int32(SLOT_ROWS))
+                lo_m = jnp.where(inw, hw, jnp.int32(0))
 
-            return jax.lax.fori_loop(jnp.min(hi_m), jnp.max(lo_m)
-                                     + jnp.int32(1), row, acc)
+                def row(c, a):
+                    bc = jnp.broadcast_to(tab_s[pl.ds(c, 1), :], idx2.shape)
+                    g = jax.lax.gather(
+                        bc, lo2[..., None], dnums, slice_sizes=(1, 1),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                    return jnp.where(inw & (hw == c), g, a)
 
-        def serve(sel, acc):
-            """Windowed lookup for the ``sel`` lanes: fetch each 32768-
-            sample window between the selected rows' min and max, sweep
-            the rows present.  The window base is 64-row aligned so a
-            PCM play-head advancing a few rows per step keeps hitting
-            the cached window (``cur``) instead of re-fetching."""
-            rmin = jnp.min(jnp.where(sel, grow, jnp.int32(1 << 30)))
-            rmax = jnp.max(jnp.where(sel, grow, jnp.int32(0)))
-            r0 = jax.lax.bitwise_and(rmin, jnp.int32(-64))
-            nwin = jax.lax.shift_right_logical(rmax - r0, jnp.int32(8)) \
-                + jnp.int32(1)
+                return jax.lax.fori_loop(jnp.min(hi_m), jnp.max(lo_m)
+                                         + jnp.int32(1), row, acc)
 
-            def win(w, a):
-                row0 = jnp.minimum(r0 + w * jnp.int32(SLOT_ROWS),
-                                   jnp.int32(rtot - SLOT_ROWS))
+            def serve(sel, acc):
+                """Windowed lookup for the ``sel`` lanes: fetch each
+                32768-sample window between the selected rows' min and
+                max, sweep the rows present.  The window base is 64-row
+                aligned so a PCM play-head advancing a few rows per step
+                keeps hitting the cached window (``cur``) instead of
+                re-fetching."""
+                rmin = jnp.min(jnp.where(sel, grow, jnp.int32(1 << 30)))
+                rmax = jnp.max(jnp.where(sel, grow, jnp.int32(0)))
+                r0 = jax.lax.bitwise_and(rmin, jnp.int32(-64))
+                nwin = jax.lax.shift_right_logical(rmax - r0, jnp.int32(8)) \
+                    + jnp.int32(1)
 
-                @pl.when(row0 != cur[0])
-                def _fetch():
-                    cp = pltpu.make_async_copy(
-                        tab_ref.at[pl.ds(row0, SLOT_ROWS)], tab_s, sem)
-                    cp.start()
-                    cp.wait()
-                    cur[0] = row0
+                def win(w, a):
+                    row0 = jnp.minimum(r0 + w * jnp.int32(SLOT_ROWS),
+                                       jnp.int32(rtot - SLOT_ROWS))
 
-                return sweep(sel, row0, a)
+                    @pl.when(row0 != cur[0])
+                    def _fetch():
+                        cp = pltpu.make_async_copy(
+                            tab_ref.at[pl.ds(row0, SLOT_ROWS)], tab_s, sem)
+                        cp.start()
+                        cp.wait()
+                        cur[0] = row0
 
-            return jax.lax.fori_loop(jnp.int32(0), nwin, win, acc)
+                    return sweep(sel, row0, a)
 
-        s0 = slot_sm[p * g_lanes]
-        # i32 max-reduction, not jnp.all: Mosaic's bool all-reduce lowers
-        # through a 64-bit scalar under x64
-        uniform = jnp.max(jnp.abs(slot_v[0] - s0)) == jnp.int32(0)
+                return jax.lax.fori_loop(jnp.int32(0), nwin, win, acc)
 
-        @pl.when(uniform)
-        def _one_table():
-            full = jnp.ones(idx2.shape, jnp.bool_)
-            f_s[...] = serve(full, jnp.zeros(idx2.shape, F32)) \
-                .reshape(n, sub, 128)
+            lane0 = p * g_lanes + sb * LANE_QUANTUM
+            s0 = slot_sm[lane0]
+            # i32 max-reduction, not jnp.all: Mosaic's bool all-reduce
+            # lowers through a 64-bit scalar under x64
+            uniform = jnp.max(jnp.abs(slot_blk - s0)) == jnp.int32(0)
 
-        @pl.when(jnp.logical_not(uniform))
-        def _slot_runs():
-            def lane(l, _):
-                s_l = slot_sm[p * g_lanes + l]
-                prev = slot_sm[p * g_lanes
-                               + jnp.maximum(l - jnp.int32(1), jnp.int32(0))]
-                start = jnp.logical_or(l == 0, s_l != prev)
+            @pl.when(uniform)
+            def _one_table():
+                full = jnp.ones(idx2.shape, jnp.bool_)
+                f_s[:, rows, :] = serve(full, jnp.zeros(idx2.shape, F32)) \
+                    .reshape(n, 8, 128)
 
-                @pl.when(start)
-                def _run():
-                    sel = jnp.broadcast_to((slot_v[0] == s_l)[None],
-                                           (n, sub, 128)) \
-                        .reshape(n * sub, 128)
-                    acc = f_s[...].reshape(n * sub, 128)
-                    f_s[...] = serve(sel, acc).reshape(n, sub, 128)
+            @pl.when(jnp.logical_not(uniform))
+            def _slot_runs():
+                def lane(l, _):
+                    s_l = slot_sm[lane0 + l]
+                    prev = slot_sm[lane0 + jnp.maximum(l - jnp.int32(1),
+                                                       jnp.int32(0))]
+                    start = jnp.logical_or(l == 0, s_l != prev)
 
-                return jnp.int32(0)
+                    @pl.when(start)
+                    def _run():
+                        sel = jnp.broadcast_to((slot_blk == s_l)[None],
+                                               (n, 8, 128)) \
+                            .reshape(n * 8, 128)
+                        acc = f_s[:, rows, :].reshape(n * 8, 128)
+                        f_s[:, rows, :] = serve(sel, acc).reshape(n, 8, 128)
 
-            f_s[...] = jnp.zeros((n, sub, 128), F32)
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(g_lanes), lane,
-                              jnp.int32(0))
+                    return jnp.int32(0)
+
+                f_s[:, rows, :] = jnp.zeros((n, 8, 128), F32)
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(LANE_QUANTUM),
+                                  lane, jnp.int32(0))
+
+        for _sb in range(sub // 8):
+            lookup_block(_sb)
 
         # ---- phase 4: serial S&H + quant + biquad + env + smoother ----
         amp = amp_v[0]
@@ -1325,9 +1377,13 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
     m = slot.shape[0]
     assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
     r = m // 128
-    grid = (m // LANE_QUANTUM,)
-    seq = pl.BlockSpec((n, 8, 128), lambda i, s, c: (i * 0, i, i * 0))
-    vec = pl.BlockSpec((1, 8, 128), lambda i, s, c: (i * 0, i, i * 0))
+    n_seq = 1 + (1 if fm else 0) + (1 if (cz and czm) else 0) \
+        + (1 if am_a else 0)          # out + per-sample mod streams
+    sub = _mega_sub(m, n, n_seq)
+    g_lanes = sub * 128
+    grid = (m // g_lanes,)
+    seq = pl.BlockSpec((n, sub, 128), lambda i, s, c: (i * 0, i, i * 0))
+    vec = pl.BlockSpec((1, sub, 128), lambda i, s, c: (i * 0, i, i * 0))
     wseq = lambda a: a.reshape(a.shape[0], r, 128)
     wvec = lambda a: a.reshape(1, r, 128)
     unwrap = lambda a: a.reshape(a.shape[0], m)
@@ -1413,16 +1469,16 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
 
     outs = pl.pallas_call(
         _tier_kernel_for(tuple(bool(x) for x in feat), bool(exact),
-                         UNROLL if n % UNROLL == 0 else 1, n, LANE_QUANTUM),
+                         UNROLL if n % UNROLL == 0 else 1, n, g_lanes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((n, 8, 128), F32),      # phase
-                pltpu.VMEM((n, 8, 128), I32),      # idx
-                pltpu.VMEM((n, 8, 128), F32),      # f
+                pltpu.VMEM((n, sub, 128), F32),      # phase
+                pltpu.VMEM((n, sub, 128), I32),      # idx
+                pltpu.VMEM((n, sub, 128), F32),      # f
                 pltpu.VMEM((SLOT_ROWS, 128), F32),  # table slot
                 pltpu.SMEM((1,), I32),
                 pltpu.SemaphoreType.DMA,

@@ -118,6 +118,62 @@ def test_mega_big_table_wavetable_loop():
     assert d == 0.0, f"mega vs xla maxdiff {d}"
 
 
+def test_mega_sublane_width_invariance():
+    """Widening the megakernel's grid step from one (8,128) vreg to 2-4
+    (the ILP lever for the latency-bound serial loops) must not change a
+    single bit: same lanes, different partition.  Direct tier_pallas
+    call at 4096 lanes so sub=32 actually engages."""
+    rng = np.random.default_rng(0)
+    n, m = 64, 4096
+    feat = (False, False, False, False, True, True, False, False,
+            False, False, False, False)     # flt + smoother
+    vecs = dict(
+        base_off=np.zeros(m, np.int32),
+        clip_i=np.full(m, 4095, np.int32),
+        adv=np.ones(m, np.int32), act=np.ones(m, np.int32),
+        lo=np.zeros(m, np.float32), hi=np.full(m, 4096.0, np.float32),
+        L=np.full(m, 4096.0, np.float32),
+        amp=rng.uniform(0.5, 1, m).astype(np.float32),
+        b0=np.full(m, 0.2, np.float32), b1=np.full(m, 0.3, np.float32),
+        b2=np.full(m, 0.1, np.float32), na1=np.full(m, -0.4, np.float32),
+        na2=np.full(m, 0.05, np.float32), use_flt=np.ones(m, np.int32),
+        use_sm=np.ones(m, np.int32),
+        smoothing=np.full(m, 0.02, np.float32),
+    )
+    states = dict(
+        phase=rng.uniform(0, 4096, m).astype(np.float32),
+        finished=np.zeros(m, np.int32),
+        x1=np.zeros(m, np.float32), x2=np.zeros(m, np.float32),
+        y1=np.zeros(m, np.float32), y2=np.zeros(m, np.float32),
+        smoother=np.zeros(m, np.float32),
+    )
+    tab = rng.standard_normal((32768, 128)).astype(np.float32)
+    slot = np.zeros(m, np.int32)
+    cbase = np.zeros(1, np.int32)
+    inc = rng.uniform(1, 50, m).astype(np.float32)
+    old_cap, old_int = kernels.MEGA_SUB_MAX, kernels.INTERPRET
+    kernels.INTERPRET = True
+    outs = {}
+    try:
+        for cap in (8, 32):
+            kernels.MEGA_SUB_MAX = cap
+            jax.clear_caches()   # width is read at trace time
+            out, res = kernels.tier_pallas(
+                jnp.asarray(tab), jnp.asarray(slot), jnp.asarray(cbase),
+                jnp.asarray(inc), None, None,
+                {k: jnp.asarray(v) for k, v in vecs.items()},
+                {k: jnp.asarray(v) for k, v in states.items()},
+                feat=feat, exact=True, n=n)
+            outs[cap] = (np.asarray(out),
+                         {k: np.asarray(v) for k, v in res.items()})
+    finally:
+        kernels.MEGA_SUB_MAX, kernels.INTERPRET = old_cap, old_int
+        jax.clear_caches()
+    assert np.array_equal(outs[8][0], outs[32][0])
+    for k in outs[8][1]:
+        assert np.array_equal(outs[8][1][k], outs[32][1][k]), k
+
+
 @pytest.mark.parametrize("script", ["2.sk", "33.sk", "909.sk", "75.sk",
                                     "65.sk", "48.sk", "10.sk"])
 def test_mega_corpus_scripts(script):
