@@ -4,7 +4,10 @@ mode, Pallas kernels, VMEM table LUT) and compare against the bit-exact
 compat engine.
 
 Usage:  python tools/tpu_parity.py [seconds] [script.sk ... | all]
-                                   [--bucketed] [--replicas N]
+                                   [--bucketed] [--replicas N] [--fast]
+
+--fast validates exact=False (plain hardware arithmetic, the programs
+bench.py --fast times) against the same -60 dB target.
 
 Every script must come in at or below the -60 dB target (BASELINE.md).
 The exact mode reproduces the reference binary's arithmetic on TPU:
@@ -80,8 +83,13 @@ def main() -> None:
         i = argv.index("--replicas")
         replicas = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    args = [a for a in argv if a != "--bucketed"]
+    fast = "--fast" in argv
+    args = [a for a in argv if a not in ("--bucketed", "--fast")]
     bucketed = "--bucketed" in argv
+    # --fast: validate exact=False (plain hardware fma/divide) — the
+    # configuration bench.py --fast times.  Quality target is the same
+    # -60 dB; only the exact mode additionally claims bit-parity.
+    exact_arg = False if fast else None
     seconds = float(args[0]) if args else 3.0
     names = args[1:] or DEFAULT
     if names == ["all"]:
@@ -142,7 +150,8 @@ def main() -> None:
             st = pad_segments_pow2(st)
             whole = st.num_blocks // CHUNK
             chunks = []
-            for chunk in render_fused_stream(st, CHUNK, keep_rows=len(gn)):
+            for chunk in render_fused_stream(st, CHUNK, keep_rows=len(gn),
+                                             exact=exact_arg):
                 chunks.append(chunk)
                 if len(chunks) >= whole:
                     break
@@ -158,7 +167,8 @@ def main() -> None:
               f"({len(kept)} scripts, {len(buckets)} buckets)")
     else:
         st = stack_timelines(tls)
-        out = np.asarray(render_fused_device(st, use_pallas=True))
+        out = np.asarray(render_fused_device(st, use_pallas=True,
+                                             exact=exact_arg))
         b_padded = out.shape[1]        # render_fused_device pads the batch
         out = np.moveaxis(out, 0, 1).reshape(b_padded, -1, 2)[: len(kept)]
         print(f"TPU render: {time.time() - t0:.1f}s "
