@@ -1203,28 +1203,16 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         for _sb in range(sub // 8):
             lookup_block(_sb)
 
-        # ---- phase 4: serial S&H + quant + biquad + env + smoother ----
+        # ---- phase 3.5: vectorized gain precompute ----
+        # The envelope (closed-form ADSR) and the stream-fed amp-mod term
+        # depend only on the sample index and per-lane constants, not on
+        # the phase-4 recurrence carry — so the whole amp·env·ampmod
+        # product is computed here, vectorized over TC-sample chunks, and
+        # phase 4 just reads it.  This hoists 3 divides + the nested
+        # env selects off the serial chain (bit-exact: identical
+        # elementwise ops, same association order).  The gain stream is
+        # bitcast-stored into idx_s, which is dead after phase 3.
         amp = amp_v[0]
-        if flt:
-            b0, b1, b2 = b0_v[0], b1_v[0], b2_v[0]
-            na1, na2 = na1_v[0], na2_v[0]
-            use_flt = uflt_v[0] != 0
-        if sm:
-            use_sm = usm_v[0] != 0
-            smoothing = smo_v[0]
-        if am_a:
-            am_ge = amge_v[0] != 0
-            amdep_a = amdep_a_v[0]
-        if am_self_f:
-            am_self = amself_v[0] != 0
-            am_depth = amdep_v[0]
-        if hold:
-            hold_on = holdon_v[0] != 0
-            hmax = hmax_v[0]
-        if quant:
-            quant_on = qon_v[0] != 0
-            levels = lev_v[0]
-            inv_lev = ilev_v[0]
         if env_a:
             use_env = use_env_v[0] != 0
             env_act = env_act_v[0] != 0
@@ -1235,6 +1223,69 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             vel = vel_v[0]
             att_dec = att + dec
             cb = cbase_sm[0]
+        if am_a:
+            am_ge = amge_v[0] != 0
+            amdep_a = amdep_a_v[0]
+        # amod folds into the precomputed gain only when no lane reads
+        # its own output sample (am_self needs the serial value s3)
+        hoist_am = am_a and not am_self_f
+        hoist_gain = env_a or hoist_am
+        if hoist_gain:
+
+            def gbody(q, _):
+                t0 = q * jnp.int32(TC)
+                if env_a:
+                    tpos = (jax.lax.broadcasted_iota(
+                        I32, (TC, sub, 128), 0) + t0)
+                    tf = (cb + tpos - env_start[None]).astype(F32)
+                    trf = (cb + tpos - env_relat[None]).astype(F32)
+                    v = jnp.where(
+                        tf < att[None], tf / att[None],
+                        jnp.where(
+                            tf < att_dec[None],
+                            _kfma(-((tf - att[None]) / dec[None]),
+                                  F32(1.0) - sus[None], F32(1.0)),
+                            jnp.where(
+                                (env_relat == 0)[None], sus[None],
+                                jnp.where(trf < rel[None],
+                                          sus[None] * (F32(1.0)
+                                                       - trf / rel[None]),
+                                          F32(0.0)))))
+                    v = jnp.where(env_act[None], v, F32(0.0))
+                    env_t = jnp.where(use_env[None], v * vel[None],
+                                      F32(1.0))
+                    g3 = amp[None] * env_t
+                else:
+                    g3 = jnp.broadcast_to(amp[None], (TC, sub, 128))
+                if hoist_am:
+                    amod3 = jnp.where(
+                        am_ge[None], amod_ref[pl.ds(t0, TC)] * amdep_a[None],
+                        F32(1.0))
+                    g3 = g3 * amod3
+                idx_s[pl.ds(t0, TC)] = jax.lax.bitcast_convert_type(g3, I32)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), gbody,
+                              jnp.int32(0))
+
+        # ---- phase 4: serial S&H + quant + biquad + env + smoother ----
+        if flt:
+            b0, b1, b2 = b0_v[0], b1_v[0], b2_v[0]
+            na1, na2 = na1_v[0], na2_v[0]
+            use_flt = uflt_v[0] != 0
+        if sm:
+            use_sm = usm_v[0] != 0
+            smoothing = smo_v[0]
+        if am_self_f:
+            am_self = amself_v[0] != 0
+            am_depth = amdep_v[0]
+        if hold:
+            hold_on = holdon_v[0] != 0
+            hmax = hmax_v[0]
+        if quant:
+            quant_on = qon_v[0] != 0
+            levels = lev_v[0]
+            inv_lev = ilev_v[0]
         zero_f = jnp.zeros_like(amp)
         zero_i = jnp.zeros_like(amp, dtype=I32)
 
@@ -1273,34 +1324,23 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             else:
                 s3 = x_t
                 nx1, nx2, ny1, ny2 = x1, x2, y1, y2
-            if am_a:
-                # ampmod from the raw modulator read (synth.c:584-587)
-                amod = jnp.where(am_ge, amod_ref[t] * amdep_a, F32(1.0))
+            if hoist_gain:
+                # amp·env(·amod) from the phase-3.5 precompute (bitcast
+                # in the dead idx_s scratch) — off the serial chain
+                base_gain = jax.lax.bitcast_convert_type(idx_s[t], F32)
             else:
-                amod = F32(1.0)
+                base_gain = amp
             if am_self_f:
+                # self-amp-mod reads the serial value s3 — cannot hoist
+                if am_a:
+                    amod = jnp.where(am_ge, amod_ref[t] * amdep_a,
+                                     F32(1.0))
+                else:
+                    amod = F32(1.0)
                 amod = jnp.where(am_self, s3 * am_depth, amod)
-            if env_a:
-                # closed-form ADSR from trigger/release stamps
-                # (synth.c:398-431); amplitude-only → native divide
-                tf = (cb + t - env_start).astype(F32)
-                trf = (cb + t - env_relat).astype(F32)
-                v = jnp.where(
-                    tf < att, tf / att,
-                    jnp.where(tf < att_dec,
-                              _kfma(-((tf - att) / dec), F32(1.0) - sus,
-                                    F32(1.0)),
-                              jnp.where(env_relat == 0, sus,
-                                        jnp.where(trf < rel,
-                                                  sus * (F32(1.0)
-                                                         - trf / rel),
-                                                  F32(0.0)))))
-                v = jnp.where(env_act, v, F32(0.0))
-                env_t = jnp.where(use_env, v * vel, F32(1.0))
-                final_t = amp * env_t
+                final_t = base_gain * amod
             else:
-                final_t = amp
-            final_t = final_t * amod
+                final_t = base_gain   # ·1.0 identity folded (exact)
             if sm:
                 sg2 = fma(smoothing, final_t - sg, sg)
                 final2 = jnp.where(use_sm, sg2, final_t)

@@ -83,6 +83,8 @@ def _mk(body_builder):
             out_specs=[vec, vec],
             out_shape=[jax.ShapeDtypeStruct((1, SUB, 128), F32)] * 2,
             scratch_shapes=[pltpu.VMEM((N, SUB, 128), F32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(inc, st)
         return out, ph
 
@@ -112,8 +114,11 @@ def _mk(body_builder):
     return timed
 
 
-LO, HI = F32(0.0), F32(4096.0)
-L = F32(4096.0)
+# Python floats (weak literals) — exactly-representable values, so the
+# math is identical; np.float32 module scalars would be lifted as pallas
+# consts (see b_phase_fmod_xfma)
+LO, HI = 0.0, 4096.0
+L = 4096.0
 
 
 def b_empty(inc_ref, scratch):
@@ -145,7 +150,9 @@ def b_phase_fmod_xfma(inc_ref, scratch):
     """Phase walk as the FM tier ships it in exact mode: the per-sample
     increment fma (synth.c:548-555) is the software correctly-rounded
     _kfma, ON the serial chain, plus the fmod wrap."""
-    mis, pinc, fmdep = F32(0.5), F32(1.1), F32(0.25)
+    # Python floats (weak literals): np.float32 scalars built outside the
+    # kernel trace get lifted as pallas consts, which Mosaic rejects
+    mis, pinc, fmdep = 0.5, 1.1, 0.25
 
     def body(t, c):
         ph_c, fin_c = c[0], c[1]
@@ -185,13 +192,14 @@ def b_phase_sub(inc_ref, scratch):
 
 def _fs(div: bool, exact: bool = True):
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
-    b0, b1, b2 = F32(0.2), F32(0.3), F32(0.1)
-    na1, na2 = F32(-0.4), F32(0.05)
-    att, dec, sus, rel = F32(100.0), F32(200.0), F32(0.5), F32(300.0)
-    iatt, idec, irel = F32(0.01), F32(0.005), F32(1.0 / 300.0)
-    smoothing = F32(0.02)
-    levels, inv_lev = F32(127.0), F32(1.0 / 127.0)
-    hmax = jnp.int32(7)
+    # Python scalars (weak literals) — see b_phase_fmod_xfma
+    b0, b1, b2 = 0.2, 0.3, 0.1
+    na1, na2 = -0.4, 0.05
+    att, dec, sus, rel = 100.0, 200.0, 0.5, 300.0
+    iatt, idec, irel = 0.01, 0.005, 1.0 / 300.0
+    smoothing = 0.02
+    levels, inv_lev = 127.0, 1.0 / 127.0
+    hmax = 7
 
     def build(inc_ref, scratch):
         def body(t, c):
