@@ -183,21 +183,55 @@ MEGA_SUB_MAX = int(os.environ.get("SKRED_MEGA_SUB", "32"))
 #                          bound, not issue-bound).  Read at trace time —
 #                          tests that change it must jax.clear_caches().
 
-MEGA_VMEM_BUDGET = 96 * 1024 * 1024   # leave headroom under the 128 MiB
+MEGA_SUB_MAX_FAST = int(os.environ.get("SKRED_MEGA_SUB_FAST", "64"))
+#                          fast mode (exact=False) widens further: its
+#                          serial bodies are short enough to stay
+#                          latency-bound at 8 vregs (see _mega_sub)
+
+MEGA_VMEM_BUDGET = 108 * 1024 * 1024  # leave headroom under the 128 MiB
 #                                       v5e VMEM for Mosaic temporaries
 
 
-def _mega_sub(m, n, n_seq):
+def _mega_sub(m, n, n_seq, exact=True):
     """Sublane rows per megakernel grid step: the widest multiple-of-8
     width w such that (a) w*128 divides the lane count, (b) the kernel's
-    per-step VMEM footprint — 3 scratch planes plus the double-buffered
-    per-sample streams, all (n, w, 128) f32 — stays under budget."""
+    per-step VMEM footprint — 2 scratch planes (phase aliases f) plus
+    the double-buffered per-sample streams, all (n, w, 128) f32 — stays
+    under budget.
+
+    Exact mode caps at MEGA_SUB_MAX (32): the serial loops are latency-
+    bound and wider steps overlap more dependency chains, but the exact
+    software-fma chain (~150 vector ops/sample) turns ISSUE-bound at 8
+    vregs and regresses ~1.5x (wrap_probe: fs-exact 0.131 ns/lane-sample
+    at sub=32 vs 0.194 at sub=64, while fs-fast improves 0.100→0.063)."""
     best = 8
     w = 16
-    while w <= MEGA_SUB_MAX:
+    cap = MEGA_SUB_MAX if exact else MEGA_SUB_MAX_FAST
+    while w <= cap:
         plane = n * w * 128 * 4
-        if m % (w * 128) == 0 and (3 + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET:
+        if m % (w * 128) == 0 and (2 + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET:
             best = w
+        w *= 2
+    return best
+
+
+def _mega_sub_pad(m, n, n_seq, exact=True):
+    """Step width AND padded lane count (w, m2): the widest width whose
+    VMEM footprint fits, padding the lane axis up to the next w*128
+    multiple when the dead-lane overhead stays under 1/3.  Sequential
+    grid steps = m2/(w*128) shrink with w while per-step latency barely
+    grows (latency-bound loops), so wider-with-padding beats exact
+    divisibility: a 2048x15-voice tier (240 sublane rows) runs 15
+    sequential 16-row steps undivided but 4 padded 64-row steps."""
+    cap = MEGA_SUB_MAX if exact else MEGA_SUB_MAX_FAST
+    best = (8, -(-m // LANE_QUANTUM) * LANE_QUANTUM)
+    w = 16
+    while w <= cap:
+        m2 = -(-m // (w * 128)) * (w * 128)
+        plane = n * w * 128 * 4
+        if ((2 + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET
+                and (m2 - m) * 3 <= m):
+            best = (w, m2)
         w *= 2
     return best
 
@@ -953,7 +987,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             hco, hvo = next(it), next(it)
         ph_s = next(it)                      # VMEM (n, sub, 128) f32
         idx_s = next(it)                     # VMEM (n, sub, 128) i32
-        f_s = next(it)                       # VMEM (n, sub, 128) f32
+        # f_s ALIASES ph_s: the phase plane is fully consumed by phase 2
+        # (which writes idx_s) before the phase-3 lookup writes f values,
+        # so the two live ranges never overlap — one fewer (n, sub, 128)
+        # plane lets _mega_sub pick wider grid steps within VMEM
+        f_s = ph_s
         tab_s = next(it)                     # VMEM (256, 128) f32
         cur = next(it)                       # SMEM (1,) i32
         sem = next(it)                       # DMA semaphore
@@ -1416,17 +1454,36 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
      dirn) = feat
     m = slot.shape[0]
     assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
-    r = m // 128
     n_seq = 1 + (1 if fm else 0) + (1 if (cz and czm) else 0) \
         + (1 if am_a else 0)          # out + per-sample mod streams
-    sub = _mega_sub(m, n, n_seq)
+    sub, m2 = _mega_sub_pad(m, n, n_seq, bool(exact))
+    mr = m                            # real lanes; outputs sliced back
+    if m2 > m:
+        # pad the lane axis with inert lanes (act=adv=0) so wider grid
+        # steps engage; hi/L get a benign wrap range (no fmod-by-zero)
+        tail_val = {"hi": 4096.0, "L": 4096.0}
+
+        def _pad(a, key=None):
+            if a is None:
+                return None
+            pw = [(0, 0)] * (a.ndim - 1) + [(0, m2 - m)]
+            return jnp.pad(a, pw, constant_values=tail_val.get(key, 0))
+
+        slot = _pad(slot)
+        inc = _pad(inc)
+        dm = _pad(dm)
+        amod = _pad(amod)
+        vecs = {k: _pad(v, k) for k, v in vecs.items()}
+        states = {k: _pad(v) for k, v in states.items()}
+        m = m2
+    r = m // 128
     g_lanes = sub * 128
     grid = (m // g_lanes,)
     seq = pl.BlockSpec((n, sub, 128), lambda i, s, c: (i * 0, i, i * 0))
     vec = pl.BlockSpec((1, sub, 128), lambda i, s, c: (i * 0, i, i * 0))
     wseq = lambda a: a.reshape(a.shape[0], r, 128)
     wvec = lambda a: a.reshape(1, r, 128)
-    unwrap = lambda a: a.reshape(a.shape[0], m)
+    unwrap = lambda a: a.reshape(a.shape[0], m)[:, :mr]
 
     ins = [tab2]
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
@@ -1516,9 +1573,8 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((n, sub, 128), F32),      # phase
-                pltpu.VMEM((n, sub, 128), I32),      # idx
-                pltpu.VMEM((n, sub, 128), F32),      # f
+                pltpu.VMEM((n, sub, 128), F32),      # phase (aliased as f)
+                pltpu.VMEM((n, sub, 128), I32),      # idx (then gain bits)
                 pltpu.VMEM((SLOT_ROWS, 128), F32),  # table slot
                 pltpu.SMEM((1,), I32),
                 pltpu.SemaphoreType.DMA,
@@ -1527,7 +1583,7 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(slot, cbase, *ins)
     res = {}

@@ -174,6 +174,112 @@ def test_mega_sublane_width_invariance():
         assert np.array_equal(outs[8][1][k], outs[32][1][k]), k
 
 
+def test_mega_sublane_width_invariance_fast():
+    """Fast mode (exact=False) widens grid steps to 64 sublane rows
+    (MEGA_SUB_MAX_FAST) — same bit-invariance requirement across
+    partitions.  8192 lanes so sub=64 actually engages."""
+    rng = np.random.default_rng(1)
+    n, m = 64, 8192
+    feat = (False, False, False, False, True, True, False, False,
+            False, False, False, False)     # flt + smoother
+    full = lambda v, dt=np.float32: np.full(m, v, dt)
+    vecs = dict(
+        base_off=np.zeros(m, np.int32), clip_i=full(4095, np.int32),
+        adv=np.ones(m, np.int32), act=np.ones(m, np.int32),
+        lo=full(0.0), hi=full(4096.0), L=full(4096.0),
+        amp=rng.uniform(0.5, 1, m).astype(np.float32),
+        b0=full(0.2), b1=full(0.3), b2=full(0.1), na1=full(-0.4),
+        na2=full(0.05), use_flt=np.ones(m, np.int32),
+        use_sm=np.ones(m, np.int32), smoothing=full(0.02),
+    )
+    states = dict(
+        phase=rng.uniform(0, 4096, m).astype(np.float32),
+        finished=np.zeros(m, np.int32),
+        x1=np.zeros(m, np.float32), x2=np.zeros(m, np.float32),
+        y1=np.zeros(m, np.float32), y2=np.zeros(m, np.float32),
+        smoother=np.zeros(m, np.float32),
+    )
+    tab = rng.standard_normal((32768, 128)).astype(np.float32)
+    slot = np.zeros(m, np.int32)
+    cbase = np.zeros(1, np.int32)
+    inc = rng.uniform(1, 50, m).astype(np.float32)
+    old_cap, old_int = kernels.MEGA_SUB_MAX_FAST, kernels.INTERPRET
+    kernels.INTERPRET = True
+    outs = {}
+    try:
+        for cap in (8, 64):
+            kernels.MEGA_SUB_MAX_FAST = cap
+            jax.clear_caches()   # width is read at trace time
+            out, res = kernels.tier_pallas(
+                jnp.asarray(tab), jnp.asarray(slot), jnp.asarray(cbase),
+                jnp.asarray(inc), None, None,
+                {k: jnp.asarray(v) for k, v in vecs.items()},
+                {k: jnp.asarray(v) for k, v in states.items()},
+                feat=feat, exact=False, n=n)
+            outs[cap] = (np.asarray(out),
+                         {k: np.asarray(v) for k, v in res.items()})
+    finally:
+        kernels.MEGA_SUB_MAX_FAST, kernels.INTERPRET = old_cap, old_int
+        jax.clear_caches()
+    assert np.array_equal(outs[8][0], outs[64][0])
+    for k in outs[8][1]:
+        assert np.array_equal(outs[8][1][k], outs[64][1][k]), k
+
+
+def test_mega_lane_padding_invariance():
+    """Lane counts not divisible by the step width are padded with inert
+    lanes so wider steps still engage (kernels._mega_sub_pad): 5120
+    lanes = 40 sublane rows pads to 48 at w=16.  Padding must not change
+    any real lane's output or end state."""
+    rng = np.random.default_rng(2)
+    n, m = 64, 5120                      # 40 rows: % 16 != 0 -> pads
+    feat = (False, False, False, False, True, True, False, False,
+            False, False, False, False)
+    full = lambda v, dt=np.float32: np.full(m, v, dt)
+    vecs = dict(
+        base_off=np.zeros(m, np.int32), clip_i=full(4095, np.int32),
+        adv=np.ones(m, np.int32), act=np.ones(m, np.int32),
+        lo=full(0.0), hi=full(4096.0), L=full(4096.0),
+        amp=rng.uniform(0.5, 1, m).astype(np.float32),
+        b0=full(0.2), b1=full(0.3), b2=full(0.1), na1=full(-0.4),
+        na2=full(0.05), use_flt=np.ones(m, np.int32),
+        use_sm=np.ones(m, np.int32), smoothing=full(0.02),
+    )
+    states = dict(
+        phase=rng.uniform(0, 4096, m).astype(np.float32),
+        finished=np.zeros(m, np.int32),
+        x1=np.zeros(m, np.float32), x2=np.zeros(m, np.float32),
+        y1=np.zeros(m, np.float32), y2=np.zeros(m, np.float32),
+        smoother=np.zeros(m, np.float32),
+    )
+    tab = rng.standard_normal((32768, 128)).astype(np.float32)
+    slot = np.zeros(m, np.int32)
+    cbase = np.zeros(1, np.int32)
+    inc = rng.uniform(1, 50, m).astype(np.float32)
+    old_cap, old_int = kernels.MEGA_SUB_MAX, kernels.INTERPRET
+    kernels.INTERPRET = True
+    outs = {}
+    try:
+        for cap in (8, 16):              # 8: no pad; 16: padded 40->48
+            kernels.MEGA_SUB_MAX = cap
+            jax.clear_caches()
+            out, res = kernels.tier_pallas(
+                jnp.asarray(tab), jnp.asarray(slot), jnp.asarray(cbase),
+                jnp.asarray(inc), None, None,
+                {k: jnp.asarray(v) for k, v in vecs.items()},
+                {k: jnp.asarray(v) for k, v in states.items()},
+                feat=feat, exact=True, n=n)
+            assert out.shape == (n, m), out.shape
+            outs[cap] = (np.asarray(out),
+                         {k: np.asarray(v) for k, v in res.items()})
+    finally:
+        kernels.MEGA_SUB_MAX, kernels.INTERPRET = old_cap, old_int
+        jax.clear_caches()
+    assert np.array_equal(outs[8][0], outs[16][0])
+    for k in outs[8][1]:
+        assert np.array_equal(outs[8][1][k], outs[16][1][k]), k
+
+
 @pytest.mark.parametrize("script", ["2.sk", "33.sk", "909.sk", "75.sk",
                                     "65.sk", "48.sk", "10.sk"])
 def test_mega_corpus_scripts(script):

@@ -22,6 +22,7 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SECONDS = float(args[0]) if args else 10.0
 REPLICAS = int(args[1]) if len(args) > 1 else 4
 ALL = "--all" in sys.argv
+FAST = "--fast" in sys.argv        # exact=False, like bench.py --fast
 
 
 def main() -> None:
@@ -80,13 +81,15 @@ def main() -> None:
             group = group + [group[-1]] * pad_b
             st = pack_stacked(stack_timelines(group))
         st = pad_segments_pow2(st)
+        exact_arg = False if FAST else None
         t0 = time.time()
-        render_fused_stream_device(st, CHUNK, warmup_only=True)
+        render_fused_stream_device(st, CHUNK, warmup_only=True,
+                                   exact=exact_arg)
         t_compile = time.time() - t0
         wall = float("inf")
         for _ in range(2):
             t0 = time.time()
-            render_fused_stream_device(st, CHUNK)
+            render_fused_stream_device(st, CHUNK, exact=exact_arg)
             wall = min(wall, time.time() - t0)
         whole = st.num_blocks // CHUNK
         audio = st.batch * whole * CHUNK * st.block / 44100.0

@@ -46,11 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from skred_tpu.engine.kernels import _kfma
 
+import os
+
 F32 = jnp.float32
 I32 = jnp.int32
 N = 512
-SUB = 32
-UNROLL = 4
+SUB = int(os.environ.get("PROBE_SUB", "32"))
+UNROLL = int(os.environ.get("PROBE_UNROLL", "4"))
 
 
 def _mk(body_builder):
@@ -102,10 +104,16 @@ def _mk(body_builder):
             return jnp.sum(os_) + jnp.sum(p)
 
         cf = jax.jit(chain, static_argnums=0)
-        float(cf(2))                      # warm + compile
-        t0 = time.time()
-        s = float(cf(REPS))
-        wall = time.time() - t0
+        # warm with the SAME static rep count: static_argnums makes
+        # cf(2) and cf(REPS) different compilations, so a cf(2) warm
+        # would leave the timed call paying its own compile
+        float(cf(REPS))
+        wall = float("inf")
+        s = None
+        for _ in range(2):                # best-of-2 (tunnel stalls)
+            t0 = time.time()
+            s = float(cf(REPS))
+            wall = min(wall, time.time() - t0)
         ns = wall / (REPS * N * SUB * 128) * 1e9
         print(f"{label:14s} wall={wall:7.3f}s  {ns:6.3f} ns/lane-sample "
               f"(sum {s:.3e})")
@@ -127,6 +135,74 @@ def b_empty(inc_ref, scratch):
         scratch[t] = ph
         return (ph,) + c[1:]
     return body
+
+
+def _mk_batched(nacc: int):
+    """Like _mk(b_empty) but with ONE dynamic-sliced read + write per
+    UNROLL group instead of one per sample — tests whether the serial
+    loops are bound by per-access scalar-unit address computation.
+    ``nacc`` extra scratch reads per group emulate heavier kernels."""
+
+    def kernel(inc_ref, st_ref, out_ref, ph_end, scratch):
+        def stepu(q, c):
+            t0 = q * jnp.int32(UNROLL)
+            blk = inc_ref[pl.ds(t0, UNROLL)]          # one sliced read
+            ph = c
+            outs = []
+            for u in range(UNROLL):
+                ph = ph + blk[u]
+                outs.append(ph)
+            for _ in range(nacc):                     # extra batched reads
+                ph = ph + jnp.sum(inc_ref[pl.ds(t0, UNROLL)]) * F32(0.0)
+            scratch[pl.ds(t0, UNROLL)] = jnp.stack(outs)  # one sliced write
+            return ph
+
+        fin = jax.lax.fori_loop(jnp.int32(0), jnp.int32(N // UNROLL),
+                                stepu, st_ref[0])
+        ph_end[0] = fin
+        out_ref[0] = scratch[N - 1]
+
+    @jax.jit
+    def run(inc, st):
+        seq = pl.BlockSpec((N, SUB, 128), lambda: (0, 0, 0))
+        vec = pl.BlockSpec((1, SUB, 128), lambda: (0, 0, 0))
+        out, ph = pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[seq, vec],
+            out_specs=[vec, vec],
+            out_shape=[jax.ShapeDtypeStruct((1, SUB, 128), F32)] * 2,
+            scratch_shapes=[pltpu.VMEM((N, SUB, 128), F32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(inc, st)
+        return out, ph
+
+    def timed(label):
+        inc = jnp.asarray(np.random.uniform(0.5, 2.0, (N, SUB, 128)), F32)
+        st = jnp.asarray(np.random.uniform(0, 4096, (1, SUB, 128)), F32)
+
+        def chain(reps):
+            def step(c, _):
+                o, p = run(inc, c)
+                return p, o[0, 0, 0]
+
+            p, os_ = jax.lax.scan(step, st, None, length=reps)
+            return jnp.sum(os_) + jnp.sum(p)
+
+        cf = jax.jit(chain, static_argnums=0)
+        float(cf(REPS))
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            s = float(cf(REPS))
+            wall = min(wall, time.time() - t0)
+        ns = wall / (REPS * N * SUB * 128) * 1e9
+        print(f"{label:14s} wall={wall:7.3f}s  {ns:6.3f} ns/lane-sample "
+              f"(sum {s:.3e})")
+        return wall
+
+    return timed
 
 
 def b_phase_fmod(inc_ref, scratch):
@@ -248,6 +324,9 @@ def main():
     print(f"device: {jax.devices()[0].device_kind}, shape=({N},{SUB},128), "
           f"reps={REPS}")
     results = {}
+    results_b = {}
+    for label, nacc in [("batched", 0)]:
+        results_b[label] = _mk_batched(nacc)(label)
     for label, builder in [
         ("empty", b_empty),
         ("phase-fmod", b_phase_fmod),
