@@ -183,6 +183,14 @@ MEGA_SUB_MAX = int(os.environ.get("SKRED_MEGA_SUB", "32"))
 #                          bound, not issue-bound).  Read at trace time —
 #                          tests that change it must jax.clear_caches().
 
+MEGA_ALIAS = os.environ.get("SKRED_MEGA_ALIAS", "0") != "0"
+#                          1 = f scratch plane aliases the phase plane
+#                          (saves one (n, sub, 128) plane).  Default OFF:
+#                          sharing the plane makes Mosaic fence the
+#                          lookup's writes against the CZ phase's reads —
+#                          measured -25% on 74.sk and -66% on 48.sk at
+#                          32-row steps (one_bucket A/B, 2026-08).
+
 MEGA_SUB_MAX_FAST = int(os.environ.get("SKRED_MEGA_SUB_FAST", "64"))
 #                          fast mode (exact=False) widens further: its
 #                          serial bodies are short enough to stay
@@ -226,10 +234,11 @@ def _mega_sub_pad(m, n, n_seq, exact=True):
     cap = MEGA_SUB_MAX if exact else MEGA_SUB_MAX_FAST
     best = (8, -(-m // LANE_QUANTUM) * LANE_QUANTUM)
     w = 16
+    scr = 2 if MEGA_ALIAS else 3
     while w <= cap:
         m2 = -(-m // (w * 128)) * (w * 128)
         plane = n * w * 128 * 4
-        if ((2 + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET
+        if ((scr + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET
                 and (m2 - m) * 3 <= m):
             best = (w, m2)
         w *= 2
@@ -987,11 +996,14 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             hco, hvo = next(it), next(it)
         ph_s = next(it)                      # VMEM (n, sub, 128) f32
         idx_s = next(it)                     # VMEM (n, sub, 128) i32
-        # f_s ALIASES ph_s: the phase plane is fully consumed by phase 2
-        # (which writes idx_s) before the phase-3 lookup writes f values,
-        # so the two live ranges never overlap — one fewer (n, sub, 128)
-        # plane lets _mega_sub pick wider grid steps within VMEM
-        f_s = ph_s
+        if MEGA_ALIAS:
+            # f_s ALIASES ph_s: the phase plane is fully consumed by
+            # phase 2 (which writes idx_s) before the phase-3 lookup
+            # writes f values, so the live ranges never overlap — one
+            # fewer (n, sub, 128) plane buys grid-step width within VMEM
+            f_s = ph_s
+        else:
+            f_s = next(it)                   # VMEM (n, sub, 128) f32
         tab_s = next(it)                     # VMEM (256, 128) f32
         cur = next(it)                       # SMEM (1,) i32
         sem = next(it)                       # DMA semaphore
@@ -1572,13 +1584,15 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((n, sub, 128), F32),      # phase (aliased as f)
-                pltpu.VMEM((n, sub, 128), I32),      # idx (then gain bits)
-                pltpu.VMEM((SLOT_ROWS, 128), F32),  # table slot
-                pltpu.SMEM((1,), I32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((n, sub, 128), F32),     # phase (aliased as f)
+                 pltpu.VMEM((n, sub, 128), I32)]     # idx (then gain bits)
+                + ([] if MEGA_ALIAS else
+                   [pltpu.VMEM((n, sub, 128), F32)])  # separate f plane
+                + [pltpu.VMEM((SLOT_ROWS, 128), F32),  # table slot
+                   pltpu.SMEM((1,), I32),
+                   pltpu.SemaphoreType.DMA]
+            ),
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
