@@ -199,6 +199,15 @@ MEGA_SUB_MAX_FAST = int(os.environ.get("SKRED_MEGA_SUB_FAST", "64"))
 MEGA_VMEM_BUDGET = 108 * 1024 * 1024  # leave headroom under the 128 MiB
 #                                       v5e VMEM for Mosaic temporaries
 
+MEGA_ABLATE = frozenset(
+    x for x in os.environ.get("SKRED_MEGA_ABLATE", "").split(",") if x)
+#   Timing-ablation ONLY (renders become invalid): comma list of
+#   megakernel phases to stub with shape-preserving vector fills —
+#   phase1 (serial phase walk), phase2 (CZ/index), lookup (table DMA
+#   sweeps), gain (vectorized env precompute), phase4 (serial filter/
+#   smoother).  Used by tools/mega_ablate.py to attribute bucket wall
+#   time inside the fused kernel.
+
 
 def _mega_sub(m, n, n_seq, exact=True):
     """Sublane rows per megakernel grid step: the widest multiple-of-8
@@ -1077,7 +1086,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
 
         fin0 = fin0_v[0] if finish else jnp.zeros_like(phase0_v[0], dtype=I32)
         init = (phase0_v[0], fin0, jnp.zeros_like(fin0))
-        if unroll == 1:
+        if "phase1" in MEGA_ABLATE:          # timing stub: frozen phase
+            ph_s[...] = jnp.broadcast_to(phase0_v[0][None], (n, sub, 128))
+            ph_e, fin_e, cnt_e = init
+            cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
+        elif unroll == 1:
             ph_e, fin_e, cnt_e = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n),
                                                    pbody, init)
         else:
@@ -1138,8 +1151,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             return jnp.int32(0)   # typed: x64 makes a bare 0 an i64 carry,
             # which Mosaic's convert lowering cannot handle
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody,
-                          jnp.int32(0))
+        if "phase2" in MEGA_ABLATE:          # timing stub: index 0
+            idx_s[...] = jnp.broadcast_to(base_row[None], (n, sub, 128))
+        else:
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody,
+                              jnp.int32(0))
 
         # ---- phase 3: table lookup (windowed DMA: idx_s holds GLOBAL
         # flat buffer indices, so tables of ANY size resolve here — each
@@ -1250,8 +1266,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                 jax.lax.fori_loop(jnp.int32(0), jnp.int32(LANE_QUANTUM),
                                   lane, jnp.int32(0))
 
-        for _sb in range(sub // 8):
-            lookup_block(_sb)
+        if "lookup" in MEGA_ABLATE:          # timing stub: no table DMA
+            f_s[...] = idx_s[...].astype(F32) * F32(1e-9)
+        else:
+            for _sb in range(sub // 8):
+                lookup_block(_sb)
 
         # ---- phase 3.5: vectorized gain precompute ----
         # The envelope (closed-form ADSR) and the stream-fed amp-mod term
@@ -1279,7 +1298,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         # amod folds into the precomputed gain only when no lane reads
         # its own output sample (am_self needs the serial value s3)
         hoist_am = am_a and not am_self_f
-        hoist_gain = env_a or hoist_am
+        hoist_gain = (env_a or hoist_am) and "gain" not in MEGA_ABLATE
         if hoist_gain:
 
             def gbody(q, _):
@@ -1405,7 +1424,10 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                  y1_v[0] if flt else zero_f, y2_v[0] if flt else zero_f,
                  sg_v[0] if sm else zero_f,
                  hc_v[0] if hold else zero_i, hv_v[0] if hold else zero_f)
-        if unroll == 1:
+        if "phase4" in MEGA_ABLATE:          # timing stub: raw f out
+            out_ref[...] = f_s[...]
+            x1, x2, y1, y2, sg, hc, hv = finit
+        elif unroll == 1:
             x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n), fbody, finit)
         else:
