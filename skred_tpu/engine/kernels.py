@@ -850,35 +850,70 @@ def _kdiv(a, b):
     return jnp.where(jnp.isfinite(q), q, a / b)
 
 
-def _k_fast_pow(a, b):
-    """fast_pow bit-trick (synth.c:140-147) with the exact fma."""
+def _kdiv_inv(a, y1, b):
+    """Correctly-rounded a/b from a PRECOMPUTED correctly-rounded
+    reciprocal y1 = _kdiv(1, b) (Markstein: with an exact fma and a
+    correctly-rounded reciprocal, one residual correction rounds the
+    quotient correctly).  Per-sample cost drops from _kdiv's seed
+    refine + two corrections (~7 software fmas) to one multiply + two —
+    the win when b is a loop invariant (the CZ warp's table size).
+    Verified bit-equal to _kdiv in tests/test_mega.py."""
+    q0 = a * y1
+    r = _kfma(-b, q0, a)
+    q = _kfma(r, y1, q0)
+    return jnp.where(jnp.isfinite(q), q, a / b)
+
+
+def _k_fast_pow(a, b, exact=True):
+    """fast_pow bit-trick (synth.c:140-147); exact-fma at the one site
+    gcc contracts, plain in fast mode."""
     i = jax.lax.bitcast_convert_type(a, I32)
-    x = _kfma(b, (i - jnp.int32(1065353216)).astype(F32),
-              F32(1065353216.0))
+    g = (i - jnp.int32(1065353216)).astype(F32)
+    x = _kfma(b, g, F32(1065353216.0)) if exact \
+        else b * g + F32(1065353216.0)
     r = jax.lax.bitcast_convert_type(x.astype(I32), F32)
     return jnp.where(a <= F32(0.0), F32(0.0), r)
 
 
-def _cz_warp_k(mode, ph, d, tsize):
-    """In-kernel CZ phasor, bit-matching engine.fused._cz_phasor
-    (reference cz_phasor synth.c:149-215): every divide is the
-    correctly-rounded _kdiv, every fma site the exact _kfma."""
-    phase = _kdiv(ph, tsize)
+def _cz_scales(d, exact=True):
+    """The CZ warp's d-dependent scale factors.  In a tier without
+    per-sample cz-mod edges, d is constant across the block, so callers
+    hoist this out of the chunk loop — the four correctly-rounded
+    divides are the bulk of the warp's exact-mode cost (mega_ablate:
+    phase 2 owned 45% of 48.sk's block wall before hoisting)."""
+    div = _kdiv if exact else (lambda a, b: a / b)
     d = jnp.clip(d, F32(0.0), F32(0.999))
     half, one = F32(0.5), F32(1.0)
-    m1 = jnp.where(phase < d, phase * _kdiv(half, d),
-                   _kfma(phase - d, _kdiv(half, one - d), half))
-    sc2 = _kdiv(half, half - d * half)
+    return (d, div(half, d), div(half, one - d),
+            div(half, half - d * half), div(half, half + d * half),
+            one + F32(4.0) * d, one + F32(8.0) * d)
+
+
+def _cz_warp_k(mode, ph, d, tsize, exact=True, scales=None, phase=None):
+    """In-kernel CZ phasor, bit-matching engine.fused._cz_phasor
+    (reference cz_phasor synth.c:149-215).  Exact mode: every divide
+    correctly-rounded, every fma site the exact _kfma; fast mode plain
+    hardware ops.  ``scales`` (_cz_scales) and ``phase`` (ph/tsize,
+    e.g. via the hoisted-reciprocal _kdiv_inv) let callers lift
+    loop-invariant work out of the sample loop — values are bit-equal
+    either way (elementwise)."""
+    fma = _kfma if exact else (lambda a, b, c: a * b + c)
+    if phase is None:
+        phase = _kdiv(ph, tsize) if exact else ph / tsize
+    if scales is None:
+        scales = _cz_scales(d, exact)
+    d, s1a, s1b, sc2, sc5b, p6, p7 = scales
+    half, one = F32(0.5), F32(1.0)
+    m1 = jnp.where(phase < d, phase * s1a, fma(phase - d, s1b, half))
     m2 = jnp.where(phase < half, phase * sc2,
-                   _kfma(-(one - phase), sc2, one))
+                   fma(-(one - phase), sc2, one))
     m3 = jnp.where(phase < half, phase * sc2,
-                   _kfma(phase - half, sc2, half))
+                   fma(phase - half, sc2, half))
     m4 = jnp.fmod(phase * F32(2.0), one)
-    sc5b = _kdiv(half, half + d * half)
     m5 = jnp.where(phase < half, phase * sc2,
-                   _kfma(phase - half, sc5b, half))
-    m6 = _k_fast_pow(phase, one + F32(4.0) * d)
-    m7 = _k_fast_pow(phase, one + F32(8.0) * d)
+                   fma(phase - half, sc5b, half))
+    m6 = _k_fast_pow(phase, p6, exact)
+    m7 = _k_fast_pow(phase, p7, exact)
     # first-match where chain, NOT jnp.select: select lowers to an
     # argmax whose default i64 index dtype Mosaic cannot convert
     out = phase
@@ -1113,11 +1148,19 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             mode_row = czmode_v[0]
             dist_row = czdist_v[0]
             tsz_row = tsize_v[0]
+            # hoisted once per grid step: the correctly-rounded
+            # reciprocal of the (invariant) table size — per-sample
+            # phase normalization then needs only _kdiv_inv's two fmas
+            if exact:
+                inv_ts_row = _kdiv(F32(1.0), tsz_row)
             if czm:
                 cm_ge = cmge_v[0] != 0
                 czdep = czdep_v[0]
             else:
                 d_row = dist_row + dmv_ref[0]
+                # d constant across the block: hoist the warp's four
+                # scale divides out of the per-chunk loop
+                cz_scales_row = _cz_scales(d_row, exact)
         # chunk so the (TC, sub, 128) vector temporaries stay ~0.5 MB
         # regardless of step width
         TC = n
@@ -1130,15 +1173,23 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             t0 = q * jnp.int32(TC)
             ph3 = ph_s[pl.ds(t0, TC)]                  # (TC, sub, 128)
             if cz:
+                if exact:
+                    phase3 = _kdiv_inv(ph3, inv_ts_row[None],
+                                       tsz_row[None])
+                else:
+                    phase3 = ph3 / tsz_row[None]   # native (~1 ulp)
                 if czm:
                     # dm from the raw modulator read (synth.c:263-264)
                     dm3 = jnp.where(cm_ge[None],
                                     dm_ref[pl.ds(t0, TC)] * czdep[None],
                                     F32(1.0))
                     d3 = dist_row[None] + dm3
+                    scales3 = None           # d varies per sample
                 else:
-                    d3 = jnp.broadcast_to(d_row[None], ph3.shape)
-                warped = _cz_warp_k(mode_row[None], ph3, d3, tsz_row[None])
+                    d3 = None
+                    scales3 = tuple(s[None] for s in cz_scales_row)
+                warped = _cz_warp_k(mode_row[None], ph3, d3, tsz_row[None],
+                                    exact, scales3, phase3)
                 idx_f = jnp.where((mode_row != 0)[None], warped, ph3)
             else:
                 idx_f = ph3

@@ -51,6 +51,34 @@ def test_kdiv_correctly_rounded_from_perturbed_seed():
             f"{a[bad][:3]} / {b[bad][:3]} -> {got[bad][:3]} != {want[bad][:3]}")
 
 
+def test_kdiv_inv_matches_kdiv():
+    """_kdiv_inv (Markstein: hoisted correctly-rounded reciprocal + one
+    residual correction) must equal the full _kdiv bit-for-bit — it is
+    what the megakernel's CZ phase normalization uses per sample, with
+    the reciprocal computed once per grid step."""
+    rng = np.random.default_rng(11)
+    # cz-realistic: a = phase in [0, tsize), b = table sizes incl. the
+    # awkward non-pow2 PCM lengths, plus broad random ranges
+    sizes = np.array([707, 2048, 2766, 4096, 8186, 27618, 28440, 28932,
+                      30826, 47518, 52320], np.float32)
+    b = np.concatenate([
+        np.repeat(sizes, 40_000),
+        rng.uniform(1e-3, 1.2e6, 200_000).astype(np.float32),
+    ]).astype(np.float32)
+    a = (rng.uniform(0, 1, b.size).astype(np.float32) * b).astype(
+        np.float32)
+    want = np.asarray(jax.jit(kernels._kdiv)(jnp.asarray(a),
+                                             jnp.asarray(b)))
+    y1 = np.asarray(jax.jit(kernels._kdiv)(jnp.float32(1.0),
+                                           jnp.asarray(b)))
+    got = np.asarray(jax.jit(kernels._kdiv_inv)(
+        jnp.asarray(a), jnp.asarray(y1), jnp.asarray(b)))
+    bad = got != want
+    assert not bad.any(), (
+        f"{bad.sum()} mismatches, first {a[bad][:3]} / {b[bad][:3]} -> "
+        f"{got[bad][:3]} != {want[bad][:3]}")
+
+
 def _mega_vs_xla(lines_list, seconds=0.15, reps=2):
     bank = WaveBank()
     tls = []
