@@ -24,11 +24,13 @@ REF = pathlib.Path("/root/reference")
 _ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SECONDS = float(_ARGS[0]) if _ARGS else 10.0
 REPLICAS = int(_ARGS[1]) if len(_ARGS) > 1 else 4
-# --fast: plain hardware fma/divide (validated ≤ -60 dB on the full
-# corpus, worst -69.3 dB — tools/parity_sweep.py --fast and
-# tools/tpu_parity.py --bucketed --fast).  Default remains the exact
-# mode: software correctly-rounded fma reproducing the reference
-# binary's arithmetic (~-100 dB corpus, 63/64 bit-exact on CPU).
+# Arithmetic mode.  --fast selects exact=False: plain hardware ops on
+# amplitude-only paths, with the phase-critical sites kept exact (see
+# kernels.py / PERF.md — a naive all-plain fast mode FAILS on-chip
+# corpus parity: biased double-rounding in the FM increment integrates
+# linearly into phase drift).  A mode becomes the default only after
+# passing the on-chip full-corpus gate at these exact batch shapes
+# (tools/tpu_parity.py --bucketed [--fast] all).
 FAST = "--fast" in sys.argv[1:]
 
 
