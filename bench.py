@@ -36,6 +36,19 @@ FAST = "--fast" in sys.argv[1:]
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("SKRED_MEGA_ABLATE"):
+        # ablation stubs make every render invalid (shape-preserving
+        # fills) — a stale env var would produce plausible-looking but
+        # wrong numbers, so refuse outright rather than warn
+        print(json.dumps({"metric": "batched_render_throughput",
+                          "value": 0.0, "unit": "x_realtime_per_chip",
+                          "vs_baseline": 0.0,
+                          "error": "SKRED_MEGA_ABLATE is set: renders "
+                                   "would be invalid; unset it to bench"}))
+        sys.exit(2)
+
     import jax
 
     # persistent compile cache: TPU compiles through the tunnel cost

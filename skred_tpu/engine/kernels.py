@@ -194,7 +194,7 @@ MEGA_ALIAS = os.environ.get("SKRED_MEGA_ALIAS", "0") != "0"
 MEGA_SUB_MAX_FAST = int(os.environ.get("SKRED_MEGA_SUB_FAST", "64"))
 #                          fast mode (exact=False) widens further: its
 #                          serial bodies are short enough to stay
-#                          latency-bound at 8 vregs (see _mega_sub)
+#                          latency-bound at 8 vregs (see _mega_sub_pad)
 
 MEGA_VMEM_BUDGET = 108 * 1024 * 1024  # leave headroom under the 128 MiB
 #                                       v5e VMEM for Mosaic temporaries
@@ -209,29 +209,6 @@ MEGA_ABLATE = frozenset(
 #   time inside the fused kernel.
 
 
-def _mega_sub(m, n, n_seq, exact=True):
-    """Sublane rows per megakernel grid step: the widest multiple-of-8
-    width w such that (a) w*128 divides the lane count, (b) the kernel's
-    per-step VMEM footprint — 2 scratch planes (phase aliases f) plus
-    the double-buffered per-sample streams, all (n, w, 128) f32 — stays
-    under budget.
-
-    Exact mode caps at MEGA_SUB_MAX (32): the serial loops are latency-
-    bound and wider steps overlap more dependency chains, but the exact
-    software-fma chain (~150 vector ops/sample) turns ISSUE-bound at 8
-    vregs and regresses ~1.5x (wrap_probe: fs-exact 0.131 ns/lane-sample
-    at sub=32 vs 0.194 at sub=64, while fs-fast improves 0.100→0.063)."""
-    best = 8
-    w = 16
-    cap = MEGA_SUB_MAX if exact else MEGA_SUB_MAX_FAST
-    while w <= cap:
-        plane = n * w * 128 * 4
-        if m % (w * 128) == 0 and (2 + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET:
-            best = w
-        w *= 2
-    return best
-
-
 def _mega_sub_pad(m, n, n_seq, exact=True):
     """Step width AND padded lane count (w, m2): the widest width whose
     VMEM footprint fits, padding the lane axis up to the next w*128
@@ -239,7 +216,13 @@ def _mega_sub_pad(m, n, n_seq, exact=True):
     grid steps = m2/(w*128) shrink with w while per-step latency barely
     grows (latency-bound loops), so wider-with-padding beats exact
     divisibility: a 2048x15-voice tier (240 sublane rows) runs 15
-    sequential 16-row steps undivided but 4 padded 64-row steps."""
+    sequential 16-row steps undivided but 4 padded 64-row steps.
+
+    Exact mode caps at MEGA_SUB_MAX (32): the serial loops are latency-
+    bound and wider steps overlap more dependency chains, but the exact
+    software-fma chain (~150 vector ops/sample) turns ISSUE-bound at 8
+    vregs and regresses ~1.5x (wrap_probe: fs-exact 0.131 ns/lane-sample
+    at sub=32 vs 0.194 at sub=64, while fs-fast improves 0.100→0.063)."""
     cap = MEGA_SUB_MAX if exact else MEGA_SUB_MAX_FAST
     best = (8, -(-m // LANE_QUANTUM) * LANE_QUANTUM)
     w = 16

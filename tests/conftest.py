@@ -1,5 +1,10 @@
 import os
 
+# A stale ablation var would stub kernel phases and silently invalidate
+# every parity assertion in the suite — refuse to run with it set.
+assert not os.environ.get("SKRED_MEGA_ABLATE"), \
+    "SKRED_MEGA_ABLATE is set: renders would be invalid; unset it"
+
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (bench runs on the real chip separately).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -4,7 +4,7 @@ import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 REF = pathlib.Path("/root/reference")
 NAME = sys.argv[1] if len(sys.argv) > 1 else "48.sk"

@@ -35,7 +35,7 @@ DEFAULT = ["0.sk", "2.sk", "9.sk", "10.sk", "20.sk", "24.sk", "42.sk",
            "48.sk", "65.sk", "72.sk", "909.sk"]
 
 
-def compare_main(path: str) -> None:
+def compare_main(path: str, out_json: str | None = None) -> None:
     """Runs in a clean CPU process: render compat references and report."""
     import jax
 
@@ -64,10 +64,25 @@ def compare_main(path: str) -> None:
         worst.append((db, n))
     worst.sort(reverse=True)
     print("\nworst:", [(round(d, 1), n) for d, n in worst[:8]])
+    if out_json:
+        dbs = sorted(d for d, _ in worst)
+        pathlib.Path(out_json).write_text(json.dumps({
+            "scripts": {n: round(d, 1) for d, n in worst},
+            "worst_db": round(worst[0][0], 1) if worst else None,
+            "worst_script": worst[0][1] if worst else None,
+            "median_db": round(float(np.median(dbs)), 1) if dbs else None,
+            "bit_exact": sum(1 for d, _ in worst if d <= -290.0),
+            "n_scripts": len(worst),
+            "pass": bool(not worst or worst[0][0] <= -60.0),
+        }))
     sys.exit(1 if worst and worst[0][0] > -60.0 else 0)
 
 
 def main() -> None:
+    if os.environ.get("SKRED_MEGA_ABLATE"):
+        sys.exit("SKRED_MEGA_ABLATE is set: kernel phases are stubbed and "
+                 "every render is invalid; unset it to check parity")
+
     import jax
 
     cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
@@ -130,6 +145,7 @@ def main() -> None:
             buckets.setdefault(bucket_key(tl), []).append((n, tl))
         outs = {}
         out_len = None
+        shapes = []
         for key, group in sorted(buckets.items()):
             vp = key[0]
             # forward the same replicas bench.py passes so the validated
@@ -160,6 +176,8 @@ def main() -> None:
                 outs[n] = o[i]
             out_len = o.shape[1] if out_len is None else min(out_len,
                                                              o.shape[1])
+            shapes.append({"voices": int(key[0]), "passes": int(key[1]),
+                           "rows": int(st.batch), "scripts": len(gn)})
             print(f"bucket v{key[0]} p{key[1]} x{st.batch} {gn}: done",
                   flush=True)
         out = np.stack([outs[n][:out_len] for n in kept])
@@ -178,13 +196,36 @@ def main() -> None:
         np.savez(f, out=out, names=json.dumps(kept), seconds=seconds)
         tmp = f.name
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    r = subprocess.run([sys.executable, __file__, "--compare", tmp], env=env)
+    cmp_json = tmp + ".json"
+    r = subprocess.run([sys.executable, __file__, "--compare", tmp,
+                        cmp_json], env=env)
     os.unlink(tmp)
+    # driver-parseable artifact: the flagship on-chip correctness claim,
+    # machine-checkable per round the way bench_detail.json is for perf
+    if bucketed and os.path.exists(cmp_json):
+        res = json.loads(pathlib.Path(cmp_json).read_text())
+        art = pathlib.Path(__file__).resolve().parent.parent / \
+            "TPU_PARITY.json"
+        art.write_text(json.dumps({
+            **{k: res[k] for k in ("worst_db", "worst_script", "median_db",
+                                   "bit_exact", "n_scripts", "pass")},
+            "arith": "fast" if fast else "exact",
+            "seconds": seconds,
+            "target_db": -60.0,
+            "bucketed": True,
+            "replicas": replicas,
+            "buckets": shapes,
+            "scripts": res["scripts"],
+        }, indent=1))
+        print(f"wrote {art}")
+    if os.path.exists(cmp_json):
+        os.unlink(cmp_json)
     sys.exit(r.returncode)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--compare":
-        compare_main(sys.argv[2])
+        compare_main(sys.argv[2],
+                     sys.argv[3] if len(sys.argv) > 3 else None)
     else:
         main()
