@@ -151,7 +151,8 @@ def main() -> None:
         audio = st.batch * whole_chunks * CHUNK * st.block / 44100.0
         total_audio += audio
         total_wall += wall
-        fstr = ",".join(k for k, v in feat._asdict().items() if v)
+        fstr = ",".join(k if v is True else f"{k}={list(v)}"
+                        for k, v in feat._asdict().items() if v)
         # analytic roofline attribution: achieved bytes/s and FLOP/s vs
         # chip peaks, naming the bound resource (estimate — see
         # skred_tpu/parallel/roofline.py)

@@ -88,6 +88,14 @@ class Feat(NamedTuple):
     direction: bool = True   # any reversed oscillator
     disc: bool = True        # any disconnected voice
     hold_copy: bool = True   # any copy_hold_from op
+    cz_modes: tuple = (1, 2, 3, 4, 5, 6, 7)
+    #                        # the cz_mode values present ANYWHERE in the
+    #                        # batch (any segment/lane): the warp computes
+    #                        # only these curves.  The corpus is almost
+    #                        # entirely mode 1 — the full 7-mode warp
+    #                        # (incl. two fast_pows and an fmod per
+    #                        # sample) owned 40% of the heavy bucket's
+    #                        # block wall (mega_ablate, round 3).
 
 
 def compute_feat(st, lanes=None) -> Feat:
@@ -123,6 +131,8 @@ def compute_feat(st, lanes=None) -> Feat:
         direction=bool((arr("direction") != 0).any()),
         disc=bool((arr("disconnect") != 0).any()),
         hold_copy=bool((oarr("copy_hold_from") >= 0).any()),
+        cz_modes=tuple(int(v) for v in np.unique(arr("cz_mode"))
+                       if 1 <= v <= 7),
     )
 
 
@@ -221,29 +231,41 @@ def _fast_pow(a, b):
     return jnp.where(a <= 0.0, F32(0.0), r)
 
 
-def _cz_phasor(mode, ph, d, tsize):
+def _cz_phasor(mode, ph, d, tsize, modes=(1, 2, 3, 4, 5, 6, 7)):
+    """CZ phase-distortion warp (reference cz_phasor synth.c:149-215).
+    ``modes`` statically restricts to the curve set present in the batch
+    — only those branches are computed (elementwise numerics identical
+    for the selected lanes)."""
     phase = _div32(ph, tsize)
     d = jnp.clip(d, 0.0, 0.999)
     half, one = F32(0.5), F32(1.0)
-    m1 = jnp.where(phase < d, phase * _div32(half, d),
-                   _fma32(phase - d, _div32(half, one - d), half))
-    sc2 = _div32(half, half - d * half)
-    m2 = jnp.where(phase < half, phase * sc2,
-                   _fma32(-(one - phase), sc2, one))
-    m3 = jnp.where(phase < half, phase * sc2,
-                   _fma32(phase - half, sc2, half))
-    m4 = jnp.fmod(phase * F32(2.0), one)
-    sc5b = _div32(half, half + d * half)
-    m5 = jnp.where(phase < half, phase * sc2,
-                   _fma32(phase - half, sc5b, half))
-    m6 = _fast_pow(phase, one + F32(4.0) * d)
-    m7 = _fast_pow(phase, one + F32(8.0) * d)
+    mk = {}
+    if 1 in modes:
+        mk[1] = jnp.where(phase < d, phase * _div32(half, d),
+                          _fma32(phase - d, _div32(half, one - d), half))
+    if 2 in modes or 3 in modes or 5 in modes:
+        sc2 = _div32(half, half - d * half)
+    if 2 in modes:
+        mk[2] = jnp.where(phase < half, phase * sc2,
+                          _fma32(-(one - phase), sc2, one))
+    if 3 in modes:
+        mk[3] = jnp.where(phase < half, phase * sc2,
+                          _fma32(phase - half, sc2, half))
+    if 4 in modes:
+        mk[4] = jnp.fmod(phase * F32(2.0), one)
+    if 5 in modes:
+        sc5b = _div32(half, half + d * half)
+        mk[5] = jnp.where(phase < half, phase * sc2,
+                          _fma32(phase - half, sc5b, half))
+    if 6 in modes:
+        mk[6] = _fast_pow(phase, one + F32(4.0) * d)
+    if 7 in modes:
+        mk[7] = _fast_pow(phase, one + F32(8.0) * d)
     # first-match where chain, NOT jnp.select (x64 makes select's argmax
     # index i64; modes are mutually exclusive so the order is free)
     out = phase
-    for k, mk in ((7, m7), (6, m6), (5, m5), (4, m4), (3, m3), (2, m2),
-                  (1, m1)):
-        out = jnp.where(mode == k, mk, out)
+    for k in sorted(mk, reverse=True):
+        out = jnp.where(mode == k, mk[k], out)
     return out * tsize
 
 
@@ -441,7 +463,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                            F32(0.0), F32(1.0))
         cz_idx = _cz_phasor(p["cz_mode"][..., None], ph32,
                             p["cz_distortion"][..., None] + dm,
-                            tsize_f[..., None])
+                            tsize_f[..., None], modes=feat.cz_modes)
         idx_f = jnp.where((p["cz_mode"] != 0)[..., None], cz_idx, ph32)
     else:
         idx_f = ph32
@@ -819,7 +841,7 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
 
     mfeat = (feat.fm, feat.cz, feat.czm, feat.env, feat.flt, feat.sm,
              feat.hold, feat.quant, feat.am, feat.am_self, feat.finish,
-             feat.direction)
+             feat.direction, tuple(feat.cz_modes))
     out, res = K.tier_pallas(tab2, slot, cbase, inc_in, dm_in, amod_in,
                              vecs, states, feat=mfeat, exact=exact, n=N)
     fvv = lambda a: K.from_vm_vec(a, B, V_)

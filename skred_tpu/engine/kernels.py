@@ -858,51 +858,71 @@ def _k_fast_pow(a, b, exact=True):
     return jnp.where(a <= F32(0.0), F32(0.0), r)
 
 
-def _cz_scales(d, exact=True):
-    """The CZ warp's d-dependent scale factors.  In a tier without
-    per-sample cz-mod edges, d is constant across the block, so callers
-    hoist this out of the chunk loop — the four correctly-rounded
-    divides are the bulk of the warp's exact-mode cost (mega_ablate:
-    phase 2 owned 45% of 48.sk's block wall before hoisting)."""
+CZ_ALL = (1, 2, 3, 4, 5, 6, 7)
+
+
+def _cz_scales(d, exact=True, modes=CZ_ALL):
+    """The CZ warp's d-dependent scale factors (only the ones ``modes``
+    needs; unused slots are None).  In a tier without per-sample cz-mod
+    edges, d is constant across the block, so callers hoist this out of
+    the chunk loop — the four correctly-rounded divides are the bulk of
+    the warp's exact-mode cost (mega_ablate: phase 2 owned 45% of
+    48.sk's block wall before hoisting)."""
     div = _kdiv if exact else (lambda a, b: a / b)
     d = jnp.clip(d, F32(0.0), F32(0.999))
     half, one = F32(0.5), F32(1.0)
-    return (d, div(half, d), div(half, one - d),
-            div(half, half - d * half), div(half, half + d * half),
-            one + F32(4.0) * d, one + F32(8.0) * d)
+    return (d,
+            div(half, d) if 1 in modes else None,
+            div(half, one - d) if 1 in modes else None,
+            div(half, half - d * half)
+            if any(k in modes for k in (2, 3, 5)) else None,
+            div(half, half + d * half) if 5 in modes else None,
+            one + F32(4.0) * d if 6 in modes else None,
+            one + F32(8.0) * d if 7 in modes else None)
 
 
-def _cz_warp_k(mode, ph, d, tsize, exact=True, scales=None, phase=None):
+def _cz_warp_k(mode, ph, d, tsize, exact=True, scales=None, phase=None,
+               modes=CZ_ALL):
     """In-kernel CZ phasor, bit-matching engine.fused._cz_phasor
     (reference cz_phasor synth.c:149-215).  Exact mode: every divide
     correctly-rounded, every fma site the exact _kfma; fast mode plain
     hardware ops.  ``scales`` (_cz_scales) and ``phase`` (ph/tsize,
     e.g. via the hoisted-reciprocal _kdiv_inv) let callers lift
     loop-invariant work out of the sample loop — values are bit-equal
-    either way (elementwise)."""
+    either way (elementwise).  ``modes`` statically restricts the warp
+    to the curve set present in the tier: the full warp runs ~8 exact
+    software fmas per lane-sample (incl. two fast_pows and an fmod),
+    and the corpus is almost entirely mode 1."""
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
     if phase is None:
         phase = _kdiv(ph, tsize) if exact else ph / tsize
     if scales is None:
-        scales = _cz_scales(d, exact)
+        scales = _cz_scales(d, exact, modes)
     d, s1a, s1b, sc2, sc5b, p6, p7 = scales
     half, one = F32(0.5), F32(1.0)
-    m1 = jnp.where(phase < d, phase * s1a, fma(phase - d, s1b, half))
-    m2 = jnp.where(phase < half, phase * sc2,
-                   fma(-(one - phase), sc2, one))
-    m3 = jnp.where(phase < half, phase * sc2,
-                   fma(phase - half, sc2, half))
-    m4 = jnp.fmod(phase * F32(2.0), one)
-    m5 = jnp.where(phase < half, phase * sc2,
-                   fma(phase - half, sc5b, half))
-    m6 = _k_fast_pow(phase, p6, exact)
-    m7 = _k_fast_pow(phase, p7, exact)
+    mk = {}
+    if 1 in modes:
+        mk[1] = jnp.where(phase < d, phase * s1a, fma(phase - d, s1b, half))
+    if 2 in modes:
+        mk[2] = jnp.where(phase < half, phase * sc2,
+                          fma(-(one - phase), sc2, one))
+    if 3 in modes:
+        mk[3] = jnp.where(phase < half, phase * sc2,
+                          fma(phase - half, sc2, half))
+    if 4 in modes:
+        mk[4] = jnp.fmod(phase * F32(2.0), one)
+    if 5 in modes:
+        mk[5] = jnp.where(phase < half, phase * sc2,
+                          fma(phase - half, sc5b, half))
+    if 6 in modes:
+        mk[6] = _k_fast_pow(phase, p6, exact)
+    if 7 in modes:
+        mk[7] = _k_fast_pow(phase, p7, exact)
     # first-match where chain, NOT jnp.select: select lowers to an
     # argmax whose default i64 index dtype Mosaic cannot convert
     out = phase
-    for k, mk in ((7, m7), (6, m6), (5, m5), (4, m4), (3, m3), (2, m2),
-                  (1, m1)):
-        out = jnp.where(mode == k, mk, out)
+    for k in sorted(mk, reverse=True):
+        out = jnp.where(mode == k, mk[k], out)
     return out * tsize
 
 
@@ -934,9 +954,11 @@ SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
 
 
 def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
-    """The fused tier kernel body.  ``feat`` is an 11-tuple of static
-    flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish);
-    stages off for the tier vanish from the compiled loop.
+    """The fused tier kernel body.  ``feat`` is a 13-tuple of static
+    flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish,
+    direction, cz_modes); stages off for the tier vanish from the
+    compiled loop, and the CZ warp computes only the mode curves in
+    ``cz_modes``.
 
     Three phases over one grid step of ``g_lanes`` lanes (8·128 vregs):
       1. serial phase walk (osc_next synth.c:217-258) → ph scratch,
@@ -954,7 +976,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
          in-kernel (amplitude-only → native divide is enough)
     """
     (fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish,
-     dirn) = feat
+     dirn, cz_modes) = feat
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
     sub = g_lanes // 128                     # sublane rows per step (8)
 
@@ -1143,7 +1165,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                 d_row = dist_row + dmv_ref[0]
                 # d constant across the block: hoist the warp's four
                 # scale divides out of the per-chunk loop
-                cz_scales_row = _cz_scales(d_row, exact)
+                cz_scales_row = _cz_scales(d_row, exact, cz_modes)
         # chunk so the (TC, sub, 128) vector temporaries stay ~0.5 MB
         # regardless of step width
         TC = n
@@ -1170,9 +1192,10 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                     scales3 = None           # d varies per sample
                 else:
                     d3 = None
-                    scales3 = tuple(s[None] for s in cz_scales_row)
+                    scales3 = tuple(s[None] if s is not None else None
+                                    for s in cz_scales_row)
                 warped = _cz_warp_k(mode_row[None], ph3, d3, tsz_row[None],
-                                    exact, scales3, phase3)
+                                    exact, scales3, phase3, cz_modes)
                 idx_f = jnp.where((mode_row != 0)[None], warped, ph3)
             else:
                 idx_f = ph3
@@ -1519,7 +1542,7 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
     Returns (out [N, M], dict of end-state [M] vectors incl. ``cnt`` —
     the alive-prefix length per lane)."""
     (fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish,
-     dirn) = feat
+     dirn, cz_modes) = feat
     m = slot.shape[0]
     assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
     n_seq = 1 + (1 if fm else 0) + (1 if (cz and czm) else 0) \
@@ -1633,7 +1656,8 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         names += ["hold_count", "hold_val"]
 
     outs = pl.pallas_call(
-        _tier_kernel_for(tuple(bool(x) for x in feat), bool(exact),
+        _tier_kernel_for(tuple(bool(x) for x in feat[:12])
+                         + (tuple(cz_modes),), bool(exact),
                          UNROLL if n % UNROLL == 0 else 1, n, g_lanes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

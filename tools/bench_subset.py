@@ -95,7 +95,7 @@ def main() -> None:
         audio = st.batch * whole * CHUNK * st.block / 44100.0
         total_audio += audio
         total_wall += wall
-        fstr = ",".join(k_ for k_, v in feat._asdict().items() if v)
+        fstr = ",".join(k_ for k_, v in feat._asdict().items() if v is True)
         from skred_tpu.parallel.roofline import estimate_bucket
 
         roof = estimate_bucket(st).roofline(wall, whole * CHUNK)

@@ -89,7 +89,7 @@ def main():
     sob = jnp.asarray(np.asarray(st.seg_of_block)[:, :CHUNK])
     sis = jnp.asarray(np.asarray(st.seg_is_start)[:, :CHUNK])
     print(f"{SCRIPT}: batch {B} Vp {Vp} tiers {st.tiers} feat "
-          f"{','.join(kk for kk, v in feat._asdict().items() if v)}")
+          f"{','.join(kk for kk, v in feat._asdict().items() if v is True)}")
 
     lowered = _fused_chunk_jit.lower(
         carry, params, ops, sob, sis, table, n, jnp.int32(0),

@@ -24,7 +24,13 @@ from skred_tpu.host.timeline import compile_script
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REF = pathlib.Path("/root/reference")
+CORPUS = REPO / "corpus"       # repo-local extension (feedback, stress64)
 OUT = REPO / "golden" / "out"
+
+
+def script_path(script: str) -> pathlib.Path:
+    p = CORPUS / script
+    return p if p.exists() else REF / script
 
 
 def mint(script: str, seconds: float, extra=()) -> np.ndarray:
@@ -36,7 +42,7 @@ def mint(script: str, seconds: float, extra=()) -> np.ndarray:
         cmd = [str(exe), "-d", str(seconds), "-o", str(f)]
         for e in extra:
             cmd += ["-e", e]
-        cmd.append(script)
+        cmd.append(str(script_path(script).resolve()))
         subprocess.run(cmd, cwd=REF, check=True, capture_output=True)
     return np.fromfile(f, dtype=np.float32).reshape(-1, 2)
 
@@ -51,7 +57,7 @@ if FAST:                         # mul+add at the gcc-contracted sites)
 
 def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
     golden = mint(script, seconds, extra)
-    lines = (REF / script).read_text().splitlines()
+    lines = script_path(script).read_text().splitlines()
     t0 = time.time()
     tl = compile_script(lines, seconds, bank=bank, script_dir=REF)
     if extra:
@@ -59,7 +65,7 @@ def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
         raise NotImplementedError
     t_compile = time.time() - t0
     t0 = time.time()
-    if FUSED:
+    if FUSED and tl.fused_passes is not None:
         from skred_tpu.engine.fused import render_fused
         from skred_tpu.parallel.batch import stack_timelines
 
@@ -76,7 +82,8 @@ def run_one(script: str, seconds: float, bank: WaveBank, extra=()):
 
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
-    scripts = sys.argv[2:] or sorted(p.name for p in REF.glob("*.sk"))
+    scripts = sys.argv[2:] or (sorted(p.name for p in REF.glob("*.sk"))
+                               + sorted(p.name for p in CORPUS.glob("*.sk")))
     bank = WaveBank()
     worst = []
     for s in scripts:

@@ -31,6 +31,14 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 REF = pathlib.Path("/root/reference")
+CORPUS = pathlib.Path(__file__).resolve().parent.parent / "corpus"
+
+
+def script_path(n: str) -> pathlib.Path:
+    p = CORPUS / n
+    return p if p.exists() else REF / n
+
+
 DEFAULT = ["0.sk", "2.sk", "9.sk", "10.sk", "20.sk", "24.sk", "42.sk",
            "48.sk", "65.sk", "72.sk", "909.sk"]
 
@@ -53,7 +61,7 @@ def compare_main(path: str, out_json: str | None = None) -> None:
     bank = WaveBank()
     worst = []
     for i, n in enumerate(names):
-        tl = compile_script((REF / n).read_text().splitlines(), seconds,
+        tl = compile_script(script_path(n).read_text().splitlines(), seconds,
                             bank=bank, script_dir=REF)
         ref = render_timeline(tl)
         m = min(out.shape[1], len(ref))
@@ -108,7 +116,8 @@ def main() -> None:
     seconds = float(args[0]) if args else 3.0
     names = args[1:] or DEFAULT
     if names == ["all"]:
-        names = sorted(p.name for p in REF.glob("*.sk"))
+        names = (sorted(p.name for p in REF.glob("*.sk"))
+                 + sorted(p.name for p in CORPUS.glob("*.sk")))
 
     from skred_tpu.assets import WaveBank
     from skred_tpu.engine.fused import (compute_feat, render_fused,
@@ -120,7 +129,7 @@ def main() -> None:
     tls = []
     kept = []
     for n in names:
-        tl = compile_script((REF / n).read_text().splitlines(), seconds,
+        tl = compile_script(script_path(n).read_text().splitlines(), seconds,
                             bank=bank, script_dir=REF)
         if tl.fused_passes is None:
             print(f"SKIP {n}: cyclic modulation graph (compat engine only)")
