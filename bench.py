@@ -21,6 +21,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 import numpy as np
 
 REF = pathlib.Path("/root/reference")
+CORPUS = pathlib.Path(__file__).resolve().parent / "corpus"
 _ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SECONDS = float(_ARGS[0]) if _ARGS else 10.0
 REPLICAS = int(_ARGS[1]) if len(_ARGS) > 1 else 4
@@ -71,7 +72,11 @@ def main() -> None:
     from skred_tpu.parallel.batch import (bucket_key, fill_bucket,
         pack_stacked, pad_segments_pow2, stack_timelines)
 
+    # reference corpus + the repo's own stress scripts: stress64.sk (the
+    # reference's 64-voice design point, its own bucket) and fb1/fb2.sk
+    # (cyclic modulation graphs — the compat-scan fallback bucket)
     scripts = sorted(REF.glob("*.sk")) if REF.exists() else []
+    scripts += sorted(CORPUS.glob("*.sk")) if CORPUS.exists() else []
     if not scripts:
         print(json.dumps({"metric": "render_throughput", "value": 0.0,
                           "unit": "x_realtime_per_chip", "vs_baseline": 0.0,

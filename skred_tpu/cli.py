@@ -160,12 +160,18 @@ def cmd_serve(args) -> int:
 
 
 def cmd_midi_in(args) -> int:
+    if args.list:
+        from skred_tpu.frontends.seq_midi import format_ports, list_ports
+
+        print(format_ports(list_ports()))
+        return 0
     from skred_tpu.frontends.live_midi import main as midi_main
 
     host, _, port = args.to.partition(":")
     return midi_main(args.port, host or "127.0.0.1",
                      int(port) if port else 60440,
-                     voice_offset=args.voice_offset)
+                     voice_offset=args.voice_offset,
+                     connect=args.connect or ())
 
 
 def cmd_scope(args) -> int:
@@ -226,12 +232,19 @@ def main(argv=None) -> int:
 
     mi = sub.add_parser("midi-in",
                         help="live MIDI input -> wire over UDP (cmex2)")
-    mi.add_argument("--port", default="hw:0,0",
-                    help="ALSA rawmidi device (hw:X,Y / virtual) or a "
+    mi.add_argument("--port", default="seq",
+                    help="'seq[:NAME]' = ALSA sequencer client (a "
+                         "subscribable port, the reference's plug-and-"
+                         "play model); hw:X,Y / virtual = rawmidi; or a "
                          "pipe/device path readable as raw MIDI bytes")
     mi.add_argument("--to", default="127.0.0.1:60440",
                     help="wire server host:port")
     mi.add_argument("--voice-offset", type=int, default=0)
+    mi.add_argument("--list", action="store_true",
+                    help="list sequencer clients/ports and exit")
+    mi.add_argument("--connect", action="append", metavar="CLIENT:PORT",
+                    help="also subscribe the seq port to this source "
+                         "(repeatable; see --list)")
     mi.set_defaults(fn=cmd_midi_in)
 
     sc = sub.add_parser("scope",

@@ -201,20 +201,28 @@ class MidiBridge:
         self._stop.set()
 
 
-def open_input(port: str):
-    """``hw:…``/``virtual`` → ALSA rawmidi; anything else is treated as
-    a path to a pipe/device file readable as a raw byte stream."""
+def open_input(port: str, connect=()):
+    """``seq`` → ALSA sequencer client (the reference's plug-and-play
+    port model: a subscribable destination plus optional ``connect``
+    subscriptions — frontends/seq_midi.py); ``hw:…``/``virtual`` → ALSA
+    rawmidi; anything else is treated as a path to a pipe/device file
+    readable as a raw byte stream."""
+    if port == "seq" or port.startswith("seq:"):
+        from skred_tpu.frontends.seq_midi import AlsaSeqInput
+
+        name = port[4:] or "skred_tpu"
+        return AlsaSeqInput(name=name, connect=connect)
     if port.startswith(("hw:", "default", "virtual")):
         return AlsaRawMidiInput(port)
     return StreamMidiInput(os.open(port, os.O_RDONLY))
 
 
 def main(port: str, host: str = "127.0.0.1", udp_port: int = 60440,
-         voice_offset: int = 0) -> int:
+         voice_offset: int = 0, connect=()) -> int:
     from skred_tpu.frontends.controllers import WireClient
 
     client = WireClient(host, udp_port)
-    src = open_input(port)
+    src = open_input(port, connect)
     bridge = MidiBridge(src, client.send, voice_offset, echo=True)
     print(f"# midi-in: {port} -> {host}:{udp_port} (NoteOn/Off -> wire)")
     try:
