@@ -174,6 +174,17 @@ def cmd_midi_in(args) -> int:
                      connect=args.connect or ())
 
 
+def cmd_cz_show(args) -> int:
+    # the curves are a few hundred eager elementwise ops — never worth a
+    # remote TPU compile; pin this process to CPU unless overridden
+    _force_platform(args.platform or "cpu")
+    from skred_tpu.frontends.cz_view import show
+
+    show(modes=args.mode or None, dists=args.d, tsize=args.tsize,
+         rows=args.rows, cols=args.cols, wave=args.wave)
+    return 0
+
+
 def cmd_scope(args) -> int:
     _force_platform(args.platform)
     from skred_tpu.frontends.scope_view import main as scope_main
@@ -257,6 +268,21 @@ def main(argv=None) -> int:
     sc.add_argument("--window", type=int, default=2048,
                     help="samples per screen")
     sc.set_defaults(fn=cmd_scope)
+
+    cz = sub.add_parser("cz-show",
+                        help="plot the engine's CZ phase-distortion "
+                             "curves (reference cz_show analog)")
+    cz.add_argument("--mode", type=int, action="append", choices=range(1, 8),
+                    help="curve mode (repeatable; default: all 7)")
+    cz.add_argument("--d", type=float, nargs="+", default=[0.5],
+                    help="distortion amount(s) to overlay")
+    cz.add_argument("--tsize", type=int, default=1024)
+    cz.add_argument("--rows", type=int, default=17)
+    cz.add_argument("--cols", type=int, default=64)
+    cz.add_argument("--wave", default=None, metavar="wN",
+                    help="draw table[warp(phase)] for bank slot wN "
+                         "instead of the transfer curve")
+    cz.set_defaults(fn=cmd_cz_show)
 
     args = ap.parse_args(argv)
     return args.fn(args)
