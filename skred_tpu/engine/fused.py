@@ -326,6 +326,10 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     prev_last = full["sample"] if full is not None else carry["sample"]
 
     # ---- all modulator reads in one one-hot matmul ----
+    # ``est`` may span only the earlier tiers (block_step's rendered-so-
+    # far slab) or be None for the first tier: selectors past its width
+    # read 0.0 — correct, because sample-feeding edges always target an
+    # earlier tier and anything else multiplies by a zero depth.
     read_specs = []
     if feat.fm:
         read_specs.append(("fm", p["freq_mod_osc"], p["fm_delayed"]))
@@ -334,10 +338,14 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
     if feat.am:
         read_specs.append(("am", p["amp_mod_osc"], p["am_delayed"]))
     if read_specs:
-        reads = dict(zip(
-            (name for name, _, _ in read_specs),
-            _read_blocks_multi(est, prev_last,
-                               [(o, d) for _, o, d in read_specs])))
+        if est is None:
+            z = jnp.zeros((B, V_, N), F32)
+            reads = {name: z for name, _, _ in read_specs}
+        else:
+            reads = dict(zip(
+                (name for name, _, _ in read_specs),
+                _read_blocks_multi(est, prev_last[:, :est.shape[1]],
+                                   [(o, d) for _, o, d in read_specs])))
 
     # ---- FM increments ----
     if feat.fm:
@@ -993,24 +1001,48 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             out[k] = arrs[k][ar, seg]
         return out
 
+    # single-segment batches (no mid-render param changes anywhere in the
+    # bucket) need no per-block segment gather: hoist the [B, P, Vp]
+    # selects out of the scan entirely
+    single_seg = all(v.shape[1] == 1 for v in params.values()) \
+        and all(v.shape[1] == 1 for v in ops.values())
+    if single_seg:
+        p_const = {k: v[:, 0] for k, v in params.items()}
+        o_const = {k: v[:, 0] for k, v in ops.items()}
+
     def block_step(carry, k):
-        seg = seg_of_block[:, k]                    # [B]
-        p = _gather(p_groups, p_stacked, p_rest, params, seg)
-        o = _gather(o_groups, o_stacked, o_rest, ops, seg)
+        if single_seg:
+            p, o = p_const, o_const
+        else:
+            seg = seg_of_block[:, k]                # [B]
+            p = _gather(p_groups, p_stacked, p_rest, params, seg)
+            o = _gather(o_groups, o_stacked, o_rest, ops, seg)
         carry = _apply_ops_b(carry, o, seg_is_start[:, k][:, None], feat)
         counts = ((block0 + k) * block + 1 + jnp.arange(block)).astype(I32) \
             if feat.env else None
         nblk = jax.lax.dynamic_slice_in_dim(noise, k * block, block) \
             if feat.noise else None
 
-        est = jnp.broadcast_to(carry["sample"][..., None],
-                               (B, Vp, block)).astype(F32) if any_mod else None
         if tiers is not None and len(tiers) > 1:
             # tiered evaluation: lanes are packed by modulation-DAG depth
             # (parallel/batch.py pack_stacked), tier k reads only earlier
             # tiers — every voice renders exactly once per block, in place
             # of repeated full fixed-point passes.  Numerics identical:
             # each voice still computes from fully-converged modulators.
+            #
+            # Modulator estimates are the rendered-so-far slab (``done``),
+            # NOT a [B, Vp, N] broadcast of the previous block updated
+            # tier-by-tier with dynamic_update_slice: every sample-feeding
+            # edge targets an earlier tier by construction (timeline
+            # _fused_passes counts delayed edges too — a delayed read is a
+            # ONE-SAMPLE shift of the modulator's current block, so it
+            # still needs the modulator rendered first), which makes the
+            # never-rendered columns unreadable.  Reads whose one-hot
+            # selector points past ``done`` (osc -1, or a depth-0 read of
+            # a later tier whose value multiplies to zero anyway) resolve
+            # to 0.0 exactly as they did against the stale-broadcast
+            # columns (read × depth-0 == 0 either way).  Saves the
+            # broadcast + per-tier 2·[B,Vp,N] update-slice HBM round trip.
             full = {"sample": carry["sample"], "phase_inc": p["phase_inc"]}
             bounds = [0]
             for t in tiers:
@@ -1018,6 +1050,7 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             s_parts, cb_parts = [], []
             aa_parts, il_parts = [], []
             nc_parts = []
+            done = None
             for ti, (ts_, te) in enumerate(zip(bounds[:-1], bounds[1:])):
                 p_t = {kk: (vv[:, ts_:te]
                             if not kk.startswith(("med_map", "big_map"))
@@ -1030,12 +1063,12 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 ft = feat_tiers[ti] if feat_tiers is not None else feat
                 mg = bool(mega_tiers[ti]) if mega_tiers else False
                 samples_t, contrib_t, (aa_t, il_t), nc_t = _voice_block_pass(
-                    est, c_t, p_t, nblk, counts, table_buffer,
+                    done, c_t, p_t, nblk, counts, table_buffer,
                     exact, use_pallas, ft, N=block, full=full,
                     rk=f"_t{ti}", mega=mg)
-                if est is not None and ti + 1 < len(tiers):
-                    est = jax.lax.dynamic_update_slice_in_dim(
-                        est, samples_t, ts_, axis=1)
+                if any_mod and ti + 1 < len(tiers):
+                    done = samples_t if done is None else \
+                        jnp.concatenate([done, samples_t], axis=1)
                 s_parts.append(samples_t)
                 # [B, V_t, 1] when the tier has no one-shot voices
                 cb_parts.append(jnp.broadcast_to(contrib_t, samples_t.shape))
@@ -1053,6 +1086,11 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             # (repeat-passes layout, global roster names)
             rk = "_t0" if tiers is not None else ""
             mg = bool(mega_tiers[0]) if mega_tiers else False
+            # fixed-point layouts DO read not-yet-converged columns: the
+            # estimate starts as the previous block's last samples
+            est = jnp.broadcast_to(carry["sample"][..., None],
+                                   (B, Vp, block)).astype(F32) \
+                if any_mod else None
             if n_src and n_src < Vp and mod_passes > 1:
                 # the rosters hold packed voice indices, not per-voice
                 # data — entries >= n_src one-hot to zero in the prefix
