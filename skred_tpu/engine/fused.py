@@ -1047,9 +1047,23 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             bounds = [0]
             for t in tiers:
                 bounds.append(bounds[-1] + t)
+            # Pan + mix need the concatenated [B, Vp, N] slabs only when
+            # pan-mod reads modulator samples or the caller captures
+            # per-voice streams.  Otherwise each tier mixes straight out
+            # of its own kernel output: contrib stays at its native
+            # [B, V_t, 1] shape (sample-invariant without one-shot
+            # voices), so the [B, Vp, N] mask broadcast + cross-tier
+            # concat — the largest non-kernel device cost in
+            # PROFILE_ROOFLINE.json (pred[B,15,N] materialization and
+            # its async copies) — never exists.  Values are identical:
+            # masked lanes render exact zeros (kernel contract), so
+            # samples*where(c,pan,0) == where(c, samples*pan, 0), and
+            # per-tier partial sums add in packed lane order.
+            need_full = capture or feat.pm
             s_parts, cb_parts = [], []
             aa_parts, il_parts = [], []
             nc_parts = []
+            mix_l = mix_r = None
             done = None
             for ti, (ts_, te) in enumerate(zip(bounds[:-1], bounds[1:])):
                 p_t = {kk: (vv[:, ts_:te]
@@ -1069,18 +1083,30 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 if any_mod and ti + 1 < len(tiers):
                     done = samples_t if done is None else \
                         jnp.concatenate([done, samples_t], axis=1)
-                s_parts.append(samples_t)
-                # [B, V_t, 1] when the tier has no one-shot voices
-                cb_parts.append(jnp.broadcast_to(contrib_t, samples_t.shape))
-                aa_parts.append(aa_t)
-                il_parts.append(il_t)
                 nc_parts.append(nc_t)
-            samples = jnp.concatenate(s_parts, axis=1)
-            contrib = jnp.concatenate(cb_parts, axis=1)
-            any_alive = jnp.concatenate(aa_parts, axis=1)
-            il = jnp.concatenate(il_parts, axis=1)
+                if need_full:
+                    s_parts.append(samples_t)
+                    # [B, V_t, 1] when the tier has no one-shot voices
+                    cb_parts.append(jnp.broadcast_to(contrib_t,
+                                                     samples_t.shape))
+                    aa_parts.append(aa_t)
+                    il_parts.append(il_t)
+                else:
+                    wl = jnp.where(contrib_t,
+                                   carry["pan_l"][:, ts_:te, None], F32(0.0))
+                    wr = jnp.where(contrib_t,
+                                   carry["pan_r"][:, ts_:te, None], F32(0.0))
+                    l_t = (samples_t * wl).sum(axis=1)
+                    r_t = (samples_t * wr).sum(axis=1)
+                    mix_l = l_t if mix_l is None else mix_l + l_t
+                    mix_r = r_t if mix_r is None else mix_r + r_t
             new_carry = {kk: jnp.concatenate([nc[kk] for nc in nc_parts],
                                              axis=1) for kk in _CK}
+            if need_full:
+                samples = jnp.concatenate(s_parts, axis=1)
+                contrib = jnp.concatenate(cb_parts, axis=1)
+                any_alive = jnp.concatenate(aa_parts, axis=1)
+                il = jnp.concatenate(il_parts, axis=1)
         else:
             # single tier (rosters named "_t0") or cyclic-union fallback
             # (repeat-passes layout, global roster names)
@@ -1115,12 +1141,13 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             samples, contrib, (any_alive, il), new_carry = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
                 feat, N=block, rk=rk, mega=mg)
+            mix_l = mix_r = None
 
         # ---- pan (one pass over ALL lanes: the modulator blocks are the
         # final samples, exact for every tier/pass layout; serial-order
         # delay semantics ride the per-lane pm_delayed flags exactly as
         # the in-pass reads do) ----
-        if feat.pm:
+        if mix_l is None and feat.pm:
             pm = p["pan_mod_osc"]
             pm_read = _read_block(samples, carry["sample"], pm,
                                   p["pm_delayed"])
@@ -1144,15 +1171,16 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 act_pan, (pl * oh_last).sum(axis=-1), carry["pan_l"])
             new_carry["pan_r"] = jnp.where(
                 act_pan, (pr * oh_last).sum(axis=-1), carry["pan_r"])
-        else:
+        elif mix_l is None:
             pl = carry["pan_l"][..., None]
             pr = carry["pan_r"][..., None]
-        left = jnp.where(contrib, samples * pl, F32(0.0))
-        right = jnp.where(contrib, samples * pr, F32(0.0))
+        if mix_l is None:
+            left = jnp.where(contrib, samples * pl, F32(0.0))
+            right = jnp.where(contrib, samples * pr, F32(0.0))
 
-        # ---- mix + volume smoother ----
-        mix_l = left.sum(axis=1)                    # [B, N]
-        mix_r = right.sum(axis=1)
+            # ---- mix + volume smoother ----
+            mix_l = left.sum(axis=1)                # [B, N]
+            mix_r = right.sum(axis=1)
         vf = p["volume_final"][..., None]
         vg = _affine_scan(jnp.full_like(vf, F32(1.0) - F32(0.002)),
                           F32(0.002) * jnp.broadcast_to(vf, mix_l.shape),
@@ -1304,11 +1332,16 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     sob = np.asarray(st.seg_of_block)
     sis = np.asarray(st.seg_is_start)
     outs = None
+    # buckets without a noise feature never read the stream: skip the
+    # per-chunk host LCG generation and the host->device transfer (one
+    # dummy scalar keeps the jit signature stable)
+    dummy_noise = jnp.zeros((1,), F32) if not feat.noise else None
     for b0 in range(0, st.num_blocks, chunk_blocks):
         nb = min(chunk_blocks, st.num_blocks - b0)
         if nb < chunk_blocks:
             break   # drop the ragged tail chunk (constant compiled shape)
-        n = jnp.asarray(noise_stream(nb * st.block, start=b0 * st.block))
+        n = dummy_noise if dummy_noise is not None else \
+            jnp.asarray(noise_stream(nb * st.block, start=b0 * st.block))
         carry, outs = _fused_chunk_jit(
             carry, params, ops,
             jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
