@@ -96,6 +96,13 @@ class Feat(NamedTuple):
     #                        # (incl. two fast_pows and an fmod per
     #                        # sample) owned 40% of the heavy bucket's
     #                        # block wall (mega_ablate, round 3).
+    pm_lanes: tuple = ()     # packed lanes with pan_mod_osc >= 0 in ANY
+    #                        # segment/row — the only lanes whose pan can
+    #                        # vary per sample.  Static so the pan+mix
+    #                        # stage runs on a compact [B, P, N] slab
+    #                        # (P = |pm_lanes|) instead of the full
+    #                        # [B, Vp, N] materialization.
+    pm_srcs: tuple = ()      # packed lanes any pan-mod edge READS
 
 
 def compute_feat(st, lanes=None) -> Feat:
@@ -133,6 +140,11 @@ def compute_feat(st, lanes=None) -> Feat:
         hold_copy=bool((oarr("copy_hold_from") >= 0).any()),
         cz_modes=tuple(int(v) for v in np.unique(arr("cz_mode"))
                        if 1 <= v <= 7),
+        pm_lanes=tuple(int(v) for v in np.unique(
+            np.nonzero((np.asarray(p["pan_mod_osc"]) >= 0).any(
+                axis=(0, 1)))[0])),
+        pm_srcs=tuple(int(v) for v in np.unique(
+            np.asarray(p["pan_mod_osc"])) if v >= 0),
     )
 
 
@@ -1010,6 +1022,99 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
         p_const = {k: v[:, 0] for k, v in params.items()}
         o_const = {k: v[:, 0] for k, v in ops.items()}
 
+    # pan-mod lanes are a static set (feat.pm_lanes): the pan+mix stage
+    # needs per-sample pan only for them, so with capture off the mix
+    # runs tier-locally (static-pan lanes sum straight out of each
+    # tier's kernel) plus a compact [B, P, N] pan-mod slab — the full
+    # [B, Vp, N] sample/pred materializations (the dominant non-kernel
+    # device cost of the heavy pm buckets: 48.sk, 909.sk) never exist.
+    PMS = tuple(feat.pm_lanes) if feat.pm else ()
+    SRC = tuple(feat.pm_srcs)
+
+    def _mix_parts(carry, p, parts):
+        """Stereo mix from per-tier kernel outputs.
+
+        parts: list of (samples_t [B,V_t,N], contrib_t [B,V_t,1|N],
+        aa_t, il_t, (ts, te)) in packed order.  Returns (mix_l, mix_r,
+        pan carry updates or None).  Values are identical to the full
+        concat path: masked lanes render exact zeros (kernel contract),
+        so samples*where(c,pan,0) == where(c, samples*pan, 0); per-tier
+        partial sums add in packed lane order; the compact pan-mod read
+        keeps one-hot semantics (0 + x is exact)."""
+        mix_l = mix_r = None
+        pm_s, pm_c, pm_aa, pm_il, src_s = [], [], [], [], []
+        for samples_t, contrib_t, aa_t, il_t, (ts_, te) in parts:
+            loc = [v - ts_ for v in PMS if ts_ <= v < te]
+            wl = jnp.where(contrib_t, carry["pan_l"][:, ts_:te, None],
+                           F32(0.0))
+            wr = jnp.where(contrib_t, carry["pan_r"][:, ts_:te, None],
+                           F32(0.0))
+            if loc:
+                stat = np.ones((1, te - ts_, 1), bool)
+                stat[0, loc, 0] = False
+                wl = jnp.where(stat, wl, F32(0.0))
+                wr = jnp.where(stat, wr, F32(0.0))
+                B = samples_t.shape[0]
+                pm_s.append(samples_t[:, loc])
+                pm_c.append(jnp.broadcast_to(contrib_t[:, loc],
+                                             (B, len(loc), block)))
+                pm_aa.append(aa_t[:, loc])
+                pm_il.append(il_t[:, loc])
+            sloc = [v - ts_ for v in SRC if ts_ <= v < te]
+            if sloc:
+                src_s.append(samples_t[:, sloc])
+            l_t = (samples_t * wl).sum(axis=1)
+            r_t = (samples_t * wr).sum(axis=1)
+            mix_l = l_t if mix_l is None else mix_l + l_t
+            mix_r = r_t if mix_r is None else mix_r + r_t
+        if not PMS:
+            return mix_l, mix_r, None
+        pms = jnp.concatenate(pm_s, axis=1) if len(pm_s) > 1 else pm_s[0]
+        cpm = jnp.concatenate(pm_c, axis=1) if len(pm_c) > 1 else pm_c[0]
+        aa = jnp.concatenate(pm_aa, axis=1) if len(pm_aa) > 1 else pm_aa[0]
+        il = jnp.concatenate(pm_il, axis=1) if len(pm_il) > 1 else pm_il[0]
+        lanes = list(PMS)
+        pm_osc = p["pan_mod_osc"][:, lanes]
+        if SRC:
+            est = (jnp.concatenate(src_s, axis=1) if len(src_s) > 1
+                   else src_s[0])
+            sel = (pm_osc[..., None]
+                   == np.asarray(SRC, np.int32)).astype(F32)
+            src = jnp.einsum("bpm,bmt->bpt", sel, est,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            src_last = jnp.einsum(
+                "bpm,bm->bp", sel, carry["sample"][:, list(SRC)],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            shifted = jnp.concatenate([src_last[..., None], src[..., :-1]],
+                                      axis=-1)
+            pm_read = jnp.where(
+                (p["pm_delayed"][:, lanes] != 0)[..., None], shifted, src)
+        else:
+            pm_read = jnp.zeros_like(pms)
+        if feat.pm_self:
+            pm_read = jnp.where((p["pm_self"][:, lanes] != 0)[..., None],
+                                pms, pm_read)
+        qv = pm_read * p["pan_mod_depth"][:, lanes][..., None]
+        pan_mod_on = (pm_osc >= 0) & (p["disconnect"][:, lanes] == 0)
+        pl = jnp.where(pan_mod_on[..., None], (F32(1.0) - qv) * F32(0.5),
+                       carry["pan_l"][:, lanes, None])
+        pr = jnp.where(pan_mod_on[..., None], (F32(1.0) + qv) * F32(0.5),
+                       carry["pan_r"][:, lanes, None])
+        mix_l = mix_l + jnp.where(cpm, pms * pl, F32(0.0)).sum(axis=1)
+        mix_r = mix_r + jnp.where(cpm, pms * pr, F32(0.0)).sum(axis=1)
+        # pan carry freezes at the last alive sample (the reference
+        # stops updating a finished voice's pan state)
+        oh_last = (il[..., None]
+                   == np.arange(block, dtype=np.int32)).astype(F32)
+        act_pan = pan_mod_on & aa
+        new_pl = jnp.where(act_pan, (pl * oh_last).sum(axis=-1),
+                           carry["pan_l"][:, lanes])
+        new_pr = jnp.where(act_pan, (pr * oh_last).sum(axis=-1),
+                           carry["pan_r"][:, lanes])
+        return mix_l, mix_r, (lanes, new_pl, new_pr)
+
     def block_step(carry, k):
         if single_seg:
             p, o = p_const, o_const
@@ -1048,22 +1153,18 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             for t in tiers:
                 bounds.append(bounds[-1] + t)
             # Pan + mix need the concatenated [B, Vp, N] slabs only when
-            # pan-mod reads modulator samples or the caller captures
-            # per-voice streams.  Otherwise each tier mixes straight out
-            # of its own kernel output: contrib stays at its native
-            # [B, V_t, 1] shape (sample-invariant without one-shot
-            # voices), so the [B, Vp, N] mask broadcast + cross-tier
-            # concat — the largest non-kernel device cost in
-            # PROFILE_ROOFLINE.json (pred[B,15,N] materialization and
-            # its async copies) — never exists.  Values are identical:
-            # masked lanes render exact zeros (kernel contract), so
-            # samples*where(c,pan,0) == where(c, samples*pan, 0), and
-            # per-tier partial sums add in packed lane order.
-            need_full = capture or feat.pm
+            # the caller captures per-voice streams.  Otherwise each
+            # tier mixes straight out of its own kernel output via
+            # _mix_parts (pan-mod lanes ride a compact static slab), so
+            # the [B, Vp, N] mask broadcast + cross-tier concat — the
+            # largest non-kernel device cost in PROFILE_ROOFLINE.json
+            # (pred[B,15,N] materialization and its async copies) —
+            # never exists.
+            need_full = capture
             s_parts, cb_parts = [], []
             aa_parts, il_parts = [], []
-            nc_parts = []
-            mix_l = mix_r = None
+            nc_parts, mix_parts = [], []
+            mix_l = mix_r = pan_upd = None
             done = None
             for ti, (ts_, te) in enumerate(zip(bounds[:-1], bounds[1:])):
                 p_t = {kk: (vv[:, ts_:te]
@@ -1092,14 +1193,8 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                     aa_parts.append(aa_t)
                     il_parts.append(il_t)
                 else:
-                    wl = jnp.where(contrib_t,
-                                   carry["pan_l"][:, ts_:te, None], F32(0.0))
-                    wr = jnp.where(contrib_t,
-                                   carry["pan_r"][:, ts_:te, None], F32(0.0))
-                    l_t = (samples_t * wl).sum(axis=1)
-                    r_t = (samples_t * wr).sum(axis=1)
-                    mix_l = l_t if mix_l is None else mix_l + l_t
-                    mix_r = r_t if mix_r is None else mix_r + r_t
+                    mix_parts.append((samples_t, contrib_t, aa_t, il_t,
+                                      (ts_, te)))
             new_carry = {kk: jnp.concatenate([nc[kk] for nc in nc_parts],
                                              axis=1) for kk in _CK}
             if need_full:
@@ -1107,6 +1202,8 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 contrib = jnp.concatenate(cb_parts, axis=1)
                 any_alive = jnp.concatenate(aa_parts, axis=1)
                 il = jnp.concatenate(il_parts, axis=1)
+            else:
+                mix_l, mix_r, pan_upd = _mix_parts(carry, p, mix_parts)
         else:
             # single tier (rosters named "_t0") or cyclic-union fallback
             # (repeat-passes layout, global roster names)
@@ -1141,12 +1238,24 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             samples, contrib, (any_alive, il), new_carry = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
                 feat, N=block, rk=rk, mega=mg)
-            mix_l = mix_r = None
+            if capture:
+                mix_l = mix_r = pan_upd = None
+                contrib = jnp.broadcast_to(contrib, samples.shape)
+            else:
+                Vp_ = samples.shape[1]
+                mix_l, mix_r, pan_upd = _mix_parts(
+                    carry, p, [(samples, contrib, any_alive, il, (0, Vp_))])
 
-        # ---- pan (one pass over ALL lanes: the modulator blocks are the
-        # final samples, exact for every tier/pass layout; serial-order
-        # delay semantics ride the per-lane pm_delayed flags exactly as
-        # the in-pass reads do) ----
+        if pan_upd is not None:
+            lanes, new_pl, new_pr = pan_upd
+            idx = np.asarray(lanes, np.int32)
+            new_carry["pan_l"] = new_carry["pan_l"].at[:, idx].set(new_pl)
+            new_carry["pan_r"] = new_carry["pan_r"].at[:, idx].set(new_pr)
+
+        # ---- capture path: pan over the full [B, Vp, N] slabs (the
+        # modulator blocks are the final samples, exact for every
+        # tier/pass layout; serial-order delay semantics ride the
+        # per-lane pm_delayed flags exactly as the in-pass reads do) ----
         if mix_l is None and feat.pm:
             pm = p["pan_mod_osc"]
             pm_read = _read_block(samples, carry["sample"], pm,

@@ -142,10 +142,17 @@ def main() -> None:
 
         cat_ns = collections.Counter()
         op_ns = collections.Counter()
+        while_ns = 0.0
         flops_stat = 0.0
         bytes_stat = 0.0
         for p, ln, name_, dur, stats in evs:
             if (p, ln) not in op_lines:
+                continue
+            if re.match(r"%?while", name_):
+                # a %while op's duration is the WHOLE loop including its
+                # body — counting it as a category double-counts every
+                # child op.  Track the loop total separately.
+                while_ns += dur
                 continue
             cat_ns[classify(name_)] += dur
             op_ns[name_] += dur
@@ -169,6 +176,7 @@ def main() -> None:
             "device_busy_s": round(busy_s, 3),
             "dispatch_gap_pct": round(100 * (1 - busy_s / wall), 1)
             if wall else None,
+            "block_loop_total_ms": round(while_ns / 1e6, 1),
             "categories_ms": {k: round(v / 1e6, 1)
                               for k, v in cat_ns.most_common()},
             "top_ops_ms": {k: round(v / 1e6, 1)
