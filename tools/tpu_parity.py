@@ -101,6 +101,9 @@ def main() -> None:
     import numpy as np
 
     argv = sys.argv[1:]
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        return
     replicas = 4                     # bench.py's REPLICAS default
     if "--replicas" in argv:
         i = argv.index("--replicas")
