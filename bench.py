@@ -8,6 +8,17 @@ realtime: the reference C engine renders its 64-voice graph at exactly
 real time on one CPU thread by design (512-frame callback deadline,
 skred.h:12; see BASELINE.md).
 
+Driver-proof output: after EVERY timed bucket the cumulative headline
+JSON line is printed with "partial": true and bench_detail.json is
+rewritten, so a timeout mid-run still leaves a parseable, honestly-
+partial number (round 3 lost its official number to an all-or-nothing
+print, BENCH_r03.json rc=124).  The final line drops "partial".
+
+Per-bucket regression gate: if bench_baseline.json exists (the previous
+round's bench_detail), each bucket's x_rt is compared against the
+matching baseline bucket; drops >10% are listed under "regressions"
+and flagged on stderr so light-bucket drifts can't ship unseen.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -33,7 +44,25 @@ REPLICAS = int(_ARGS[1]) if len(_ARGS) > 1 else 4
 # passing the on-chip full-corpus gate at these exact batch shapes
 # (tools/tpu_parity.py --bucketed [--fast] all).
 FAST = "--fast" in sys.argv[1:]
+# compat fallback time cap: the scan-engine bucket (cyclic graphs that
+# the fused engine refuses) is bounded so a slow fallback can't eat the
+# driver's whole budget; if the warm-up render already exceeds it, its
+# wall is used directly (marked timed_cold) instead of a second pass
+COMPAT_BUDGET_S = 120.0
 
+
+def _load_baseline(here: pathlib.Path):
+    """Previous round's per-bucket x_rt keyed by (voices, passes, feat,
+    rows) — the regression gate's reference points."""
+    p = here / "bench_baseline.json"
+    if not p.exists():
+        return None
+    try:
+        base = json.loads(p.read_text())
+        return {(b["voices"], b.get("passes"), b.get("feat"), b["rows"]):
+                b["x_rt"] for b in base["buckets"]}
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -54,7 +83,8 @@ def main() -> None:
 
     # persistent compile cache: TPU compiles through the tunnel cost
     # 40-120 s per shape; cached runs skip them entirely
-    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    here = pathlib.Path(__file__).resolve().parent
+    cache = here / ".jax_cache"
     cache.mkdir(exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache))
@@ -111,10 +141,52 @@ def main() -> None:
             continue
         buckets.setdefault(bucket_key(tl), []).append(tl)
 
+    baseline = _load_baseline(here)
     total_audio = 0.0
     total_wall = 0.0
     detail = []
+    regressions = []
     checksum = 0.0
+    n_buckets_total = len(buckets) + (1 if compat_tls else 0)
+    out_path = here / "bench_detail.json"
+
+    def emit(partial: bool) -> None:
+        """Cumulative headline + detail file — called after EVERY bucket
+        so a timeout still records the completed prefix."""
+        x_rt = total_audio / total_wall if total_wall else 0.0
+        slowest = min((b for b in detail if isinstance(b["voices"], int)),
+                      key=lambda b: b["x_rt"], default=None)
+        headline = {
+            "metric": "batched_render_throughput",
+            "value": round(x_rt, 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(x_rt, 2),
+            "buckets": len(detail),
+            "slowest_bucket_x_rt": slowest["x_rt"] if slowest else None,
+            "distinct_scripts": len(scripts),
+            "total_audio_s": round(total_audio, 1),
+            "total_wall_s": round(total_wall, 3),
+            "arith": "fast" if FAST else "exact",
+        }
+        if partial:
+            headline["partial"] = True
+            headline["buckets_total"] = n_buckets_total
+        if regressions:
+            headline["regressions"] = len(regressions)
+        out_path.write_text(json.dumps({
+            **headline,
+            "replicas": REPLICAS,
+            "seconds_each": SECONDS,
+            "chunk_blocks": CHUNK,
+            "note": "audio credited per whole CHUNK-block chunk only; "
+                    "rows = replicated batch size, distinct_scripts = "
+                    "unique corpus scripts in the bucket",
+            "buckets": detail,
+            "regression_list": regressions,
+            "checksum": checksum,
+        }, indent=1))
+        print(json.dumps(headline), flush=True)
+
     CHUNK = 172   # ~2s of blocks: compiled shapes independent of duration
     for (vp, passes, feat), group in sorted(buckets.items()):
         n_distinct = len(group)
@@ -164,62 +236,60 @@ def main() -> None:
         from skred_tpu.parallel.roofline import estimate_bucket
 
         roof = estimate_bucket(st).roofline(wall, whole_chunks * CHUNK)
-        detail.append({"voices": int(vp), "passes": int(passes),
-                       "feat": fstr, "rows": len(group),
-                       "distinct_scripts": n_distinct,
-                       "wall_s": round(wall, 3),
-                       "x_rt": round(audio / wall, 1),
-                       "roofline": roof})
+        entry = {"voices": int(vp), "passes": int(passes),
+                 "feat": fstr, "rows": len(group),
+                 "distinct_scripts": n_distinct,
+                 "wall_s": round(wall, 3),
+                 "x_rt": round(audio / wall, 1),
+                 "roofline": roof}
+        if baseline is not None:
+            key = (entry["voices"], entry["passes"], entry["feat"],
+                   entry["rows"])
+            prev = baseline.get(key)
+            if prev:
+                delta = entry["x_rt"] / prev - 1.0
+                entry["x_rt_prev"] = prev
+                entry["delta_vs_baseline"] = round(delta, 3)
+                if delta < -0.10:
+                    regressions.append({"bucket": key, "x_rt": entry["x_rt"],
+                                        "prev": prev,
+                                        "delta": round(delta, 3)})
+                    print(f"REGRESSION v{vp} p{passes} [{fstr}] "
+                          f"{prev} -> {entry['x_rt']} ({delta:+.1%})",
+                          file=sys.stderr, flush=True)
+        detail.append(entry)
+        emit(partial=True)
     if compat_tls:
         from skred_tpu.parallel.batch import render_stacked
 
         noise = noise_stream(compat_tls[0].num_blocks * compat_tls[0].block)
         group = compat_tls * REPLICAS
         st = stack_timelines(group)
-        out = render_stacked(st, noise=noise)
         t0 = time.time()
-        out = render_stacked(st, noise=noise)
+        out = render_stacked(st, noise=noise)       # compile + warm pass
+        warm_wall = time.time() - t0
+        timed_cold = warm_wall > COMPAT_BUDGET_S
+        if timed_cold:
+            wall = warm_wall   # budget spent: credit the pass that ran
+        else:
+            t0 = time.time()
+            out = render_stacked(st, noise=noise)
+            wall = time.time() - t0
         checksum += float(np.abs(out[-1]).sum())
-        wall = time.time() - t0
         audio = st.batch * st.num_blocks * st.block / 44100.0
         total_audio += audio
         total_wall += wall
         detail.append({"voices": "compat-scan", "rows": len(group),
                        "distinct_scripts": len(compat_tls),
                        "wall_s": round(wall, 3),
+                       "timed_cold": timed_cold,
                        "x_rt": round(audio / wall, 1)})
+        emit(partial=True)
 
-    x_rt = total_audio / total_wall
-    slowest = min((b for b in detail if isinstance(b["voices"], int)),
-                  key=lambda b: b["x_rt"], default=None)
-    # headline: ONE compact JSON line (the driver keeps only the tail of
-    # long output — round 1's number was lost to an inline detail dump);
-    # full per-bucket detail goes to bench_detail.json next to this file
-    headline = {
-        "metric": "batched_render_throughput",
-        "value": round(x_rt, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(x_rt, 2),
-        "buckets": len(detail),
-        "slowest_bucket_x_rt": slowest["x_rt"] if slowest else None,
-        "distinct_scripts": len(scripts),
-        "total_audio_s": round(total_audio, 1),
-        "total_wall_s": round(total_wall, 3),
-        "arith": "fast" if FAST else "exact",
-    }
-    out_path = pathlib.Path(__file__).resolve().parent / "bench_detail.json"
-    out_path.write_text(json.dumps({
-        **headline,
-        "replicas": REPLICAS,
-        "seconds_each": SECONDS,
-        "chunk_blocks": CHUNK,
-        "note": "audio credited per whole CHUNK-block chunk only; "
-                "rows = replicated batch size, distinct_scripts = "
-                "unique corpus scripts in the bucket",
-        "buckets": detail,
-        "checksum": checksum,
-    }, indent=1))
-    print(json.dumps(headline))
+    # headline: the LAST line is the final (non-partial) cumulative JSON;
+    # the driver keeps the output tail, so earlier partial lines serve as
+    # the fallback record if this line is never reached
+    emit(partial=False)
 
 
 if __name__ == "__main__":

@@ -140,11 +140,15 @@ def compute_feat(st, lanes=None) -> Feat:
         hold_copy=bool((oarr("copy_hold_from") >= 0).any()),
         cz_modes=tuple(int(v) for v in np.unique(arr("cz_mode"))
                        if 1 <= v <= 7),
-        pm_lanes=tuple(int(v) for v in np.unique(
-            np.nonzero((np.asarray(p["pan_mod_osc"]) >= 0).any(
-                axis=(0, 1)))[0])),
-        pm_srcs=tuple(int(v) for v in np.unique(
-            np.asarray(p["pan_mod_osc"])) if v >= 0),
+        # lane indices stay GLOBAL packed coordinates (what _mix_parts
+        # consumes), but the sets honor the lanes=(lo, hi) slice like
+        # every other field: a per-tier Feat lists only its own tier's
+        # pan-modulated lanes / the sources its tier's edges read
+        pm_lanes=tuple(int(v) + (lanes[0] if lanes is not None else 0)
+                       for v in np.nonzero(
+                           (arr("pan_mod_osc") >= 0).any(axis=(0, 1)))[0]),
+        pm_srcs=tuple(int(v) for v in np.unique(arr("pan_mod_osc"))
+                      if v >= 0),
     )
 
 
@@ -1036,11 +1040,14 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
 
         parts: list of (samples_t [B,V_t,N], contrib_t [B,V_t,1|N],
         aa_t, il_t, (ts, te)) in packed order.  Returns (mix_l, mix_r,
-        pan carry updates or None).  Values are identical to the full
-        concat path: masked lanes render exact zeros (kernel contract),
-        so samples*where(c,pan,0) == where(c, samples*pan, 0); per-tier
-        partial sums add in packed lane order; the compact pan-mod read
-        keeps one-hot semantics (0 + x is exact)."""
+        pan carry updates or None).  Per-lane TERMS are identical to the
+        full concat path: masked lanes render exact zeros (kernel
+        contract), so samples*where(c,pan,0) == where(c, samples*pan, 0),
+        and the compact pan-mod read keeps one-hot semantics (0 + x is
+        exact).  The REDUCTION is reassociated: pan-mod lanes sum after
+        the static-pan partials instead of in packed lane order, so
+        capture and non-capture mixes can differ at ULP level (well
+        inside the −60 dB parity gate; corpus-verified on chip)."""
         mix_l = mix_r = None
         pm_s, pm_c, pm_aa, pm_il, src_s = [], [], [], [], []
         for samples_t, contrib_t, aa_t, il_t, (ts_, te) in parts:

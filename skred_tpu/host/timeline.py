@@ -172,6 +172,17 @@ def _fused_passes(e: HostEngine):
     depth = [None] * V
     visiting = [False] * V
 
+    # an effective CZ SELF-edge is 1-sample self-feedback: the reference
+    # reads voice_sample[dv] with no self-guard (synth.c:263-264, unlike
+    # FM/AM whose `mod != n` skips), so dv == n sees the voice's own
+    # previous sample.  The tiered block layout cannot express it (tier
+    # edges exclude self) — route to the compat scan engine like any
+    # other cycle (its read() already resolves self to prev[n]).
+    for n in range(V):
+        if (int(e.cz_mod_osc[n]) == n and e.cz_mode[n] != 0
+                and e.cz_mod_depth[n] != 0):
+            return None
+
     def dfs(n):
         if depth[n] is not None:
             return depth[n]
@@ -234,6 +245,12 @@ def _fused_passes_arrays(seg: dict):
     the same reason (global post-pass pan, engine/fused.py block_step)."""
     depth = [None] * V
     visiting = [False] * V
+
+    # effective CZ self-edge → compat engine (see _fused_passes)
+    for n in range(V):
+        if (int(seg["cz_mod_osc"][n]) == n and seg["cz_mode"][n] != 0
+                and seg["cz_mod_depth"][n] != 0):
+            return None
 
     def dfs(n):
         if depth[n] is not None:
