@@ -594,3 +594,42 @@ def make_mesh(n_devices: Optional[int] = None) -> jax.sharding.Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return jax.sharding.Mesh(np.array(devs), ("dp",))
+
+
+def fused_cost_per_device(st: StackedTimelines,
+                          mesh: jax.sharding.Mesh) -> float:
+    """XLA cost-analysis FLOPs of the per-device SPMD program for a
+    dp-sharded fused render — the weak-scaling metric.
+
+    On the virtual CPU mesh (one physical host core behind N virtual
+    devices) wall-clock weak scaling is physically meaningless, but the
+    per-device partitioned module is not: with the batch axis sharded
+    over ``dp`` and a fixed rows-per-device, its FLOPs must stay flat as
+    the mesh grows.  A sharding regression that replicates work (or
+    inserts a gathering collective) shows up as per-device FLOPs growing
+    with the device count — a slope, not just a wrong answer."""
+    from skred_tpu.engine.fused import (_feat_tiers, _fused_jit,
+                                        compute_feat)
+    from skred_tpu.host.timeline import noise_stream
+
+    if "fm_delayed" not in st.params:
+        st = pack_stacked(st)
+    params = _prep_params(st)
+    noise = noise_stream(st.num_blocks * st.block)
+    bsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+    rsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    put_b = lambda a: jax.device_put(np.asarray(a), bsh)
+    put_r = lambda a: jax.device_put(np.asarray(a), rsh)
+    lowered = _fused_jit.lower(
+        {k: put_b(v) for k, v in params.items()},
+        {k: put_b(v) for k, v in st.ops.items()},
+        put_b(st.seg_of_block), put_b(st.seg_is_start),
+        put_r(st.table_buffer), put_r(noise),
+        num_blocks=st.num_blocks, block=st.block,
+        mod_passes=st.fused_passes, capture=False, exact=False,
+        use_pallas=False, n_src=st.n_src, feat=compute_feat(st),
+        tiers=st.tiers, feat_tiers=_feat_tiers(st), mega_tiers=None)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):   # older jax: list per device
+        cost = cost[0]
+    return float(cost["flops"])
