@@ -953,14 +953,36 @@ def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                                              "mod_passes", "exact",
                                              "use_pallas", "n_src", "feat",
                                              "tiers", "feat_tiers",
-                                             "mega_tiers"))
+                                             "mega_tiers"),
+                   donate_argnums=(0,))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
                      mod_passes, exact=False, use_pallas=False, n_src=0,
                      feat=Feat(), tiers=None, feat_tiers=None,
                      mega_tiers=None):
     """One streaming chunk: render `num_blocks` blocks starting at global
-    block index `block0` (traced), carrying state in/out."""
+    block index `block0` (traced), carrying state in/out (donated: the
+    chunk loop never reuses the previous carry).
+
+    seg_of_block / seg_is_start / noise may be FULL-RENDER arrays — the
+    per-chunk window is sliced here, ON DEVICE, at the traced offset.
+    The streaming callers upload each of them exactly once per render:
+    per-chunk host work is then one scalar (block0) + the dispatch, so
+    the host never sits between the device and its next chunk shipping
+    [B, nb]-sized windows through the device tunnel (the measured
+    dispatch gap: device-busy was 24-32% of bench wall in round 3).
+    Noise-free buckets pass a (1,) dummy, which the shape rule leaves
+    alone; single-segment buckets keep their full seg arrays (ops still
+    fire at block 0 via _apply_ops_b) and XLA dead-code-eliminates the
+    unused seg_of_block slice."""
+    if seg_of_block.shape[1] > num_blocks:
+        seg_of_block = jax.lax.dynamic_slice_in_dim(
+            seg_of_block, block0, num_blocks, axis=1)
+        seg_is_start = jax.lax.dynamic_slice_in_dim(
+            seg_is_start, block0, num_blocks, axis=1)
+    if noise.ndim == 1 and noise.shape[0] > num_blocks * block:
+        noise = jax.lax.dynamic_slice_in_dim(
+            noise, block0 * block, num_blocks * block, axis=0)
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
                        mod_passes, False, exact, use_pallas, n_src, feat,
@@ -1387,16 +1409,21 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
     fts = _feat_tiers(st)
     mts = _mega_tiers(st) if use_pallas else None
     carry = make_carry0(B, Vp)
-    sob = np.asarray(st.seg_of_block)
-    sis = np.asarray(st.seg_is_start)
+    # one-time uploads: seg maps + the whole noise stream live on device
+    # for the full render; each chunk slices its window in-program
+    sob = jnp.asarray(np.asarray(st.seg_of_block))
+    sis = jnp.asarray(np.asarray(st.seg_is_start))
+    if feat.noise:
+        n_full = jnp.asarray(
+            noise_stream(st.num_blocks * st.block) if noise is None
+            else noise[:st.num_blocks * st.block])
+    else:
+        n_full = jnp.zeros((1,), F32)
     for b0 in range(0, st.num_blocks, chunk_blocks):
         nb = min(chunk_blocks, st.num_blocks - b0)
-        n = noise_stream(nb * st.block, start=b0 * st.block) \
-            if noise is None else noise[b0 * st.block:(b0 + nb) * st.block]
         carry, outs = _fused_chunk_jit(
-            carry, params, ops,
-            jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
-            table, jnp.asarray(n), jnp.int32(b0),
+            carry, params, ops, sob, sis,
+            table, n_full, jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
             tiers=st.tiers, feat_tiers=fts, mega_tiers=mts)
@@ -1445,24 +1472,22 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     mts = _mega_tiers(st) if use_pallas else None
     B = st.batch
     carry = make_carry0(B, Vp)
-    sob = np.asarray(st.seg_of_block)
-    sis = np.asarray(st.seg_is_start)
     outs = None
-    # buckets without a noise feature never read the stream: skip the
-    # per-chunk host LCG generation and the host->device transfer (one
-    # dummy scalar keeps the jit signature stable)
-    dummy_noise = jnp.zeros((1,), F32) if not feat.noise else None
-    for b0 in range(0, st.num_blocks, chunk_blocks):
-        nb = min(chunk_blocks, st.num_blocks - b0)
-        if nb < chunk_blocks:
-            break   # drop the ragged tail chunk (constant compiled shape)
-        n = dummy_noise if dummy_noise is not None else \
-            jnp.asarray(noise_stream(nb * st.block, start=b0 * st.block))
+    whole = (st.num_blocks // chunk_blocks) * chunk_blocks
+    # one-time uploads (see _fused_chunk_jit): seg maps + noise for every
+    # whole chunk; the per-chunk loop then does no host->device transfer
+    # beyond the block0 scalar — the device streams chunk to chunk
+    # without waiting on [B, nb]-sized windows through the tunnel
+    sob = jnp.asarray(np.asarray(st.seg_of_block))
+    sis = jnp.asarray(np.asarray(st.seg_is_start))
+    n_full = jnp.asarray(noise_stream(whole * st.block)) if feat.noise \
+        else jnp.zeros((1,), F32)
+    for b0 in range(0, whole, chunk_blocks):
         carry, outs = _fused_chunk_jit(
-            carry, params, ops,
-            jnp.asarray(sob[:, b0:b0 + nb]), jnp.asarray(sis[:, b0:b0 + nb]),
-            table, n, jnp.int32(b0),
-            num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
+            carry, params, ops, sob, sis,
+            table, n_full, jnp.int32(b0),
+            num_blocks=chunk_blocks, block=st.block,
+            mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
             tiers=st.tiers, feat_tiers=fts, mega_tiers=mts)
         if warmup_only:
