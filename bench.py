@@ -154,7 +154,11 @@ def main() -> None:
         """Cumulative headline + detail file — called after EVERY bucket
         so a timeout still records the completed prefix."""
         x_rt = total_audio / total_wall if total_wall else 0.0
-        slowest = min((b for b in detail if isinstance(b["voices"], int)),
+        # slowest over every Pallas-engine bucket (fused tiers + cyclic);
+        # only the compat-scan fallback is excluded
+        slowest = min((b for b in detail
+                       if isinstance(b["voices"], int)
+                       or str(b["voices"]).startswith("cyclic")),
                       key=lambda b: b["x_rt"], default=None)
         headline = {
             "metric": "batched_render_throughput",
@@ -259,6 +263,44 @@ def main() -> None:
                           file=sys.stderr, flush=True)
         detail.append(entry)
         emit(partial=True)
+    if compat_tls:
+        # cyclic modulation graphs: the per-frame serial Pallas engine
+        # (engine/cyclic.py), one bucket per script identity so every
+        # voice's table window is row-uniform; scripts the eligibility
+        # gate refuses stay on the compat scan fallback below
+        from skred_tpu.engine.cyclic import (ROWS_QUANTUM, cyclic_gate,
+                                             render_cyclic_stream_device)
+
+        leftovers = []
+        for tl in compat_tls:
+            st = pack_stacked(stack_timelines([tl] * ROWS_QUANTUM),
+                              cyclic=True)
+            reason = cyclic_gate(st)
+            if reason is not None:
+                leftovers.append(tl)
+                continue
+            k = st.params["amp"].shape[-1]
+            render_cyclic_stream_device(st, CHUNK, warmup_only=True)
+            wall = float("inf")
+            cs = None
+            for _ in range(2):
+                t0 = time.time()
+                cs2 = render_cyclic_stream_device(st, CHUNK)
+                wall = min(wall, time.time() - t0)
+                assert cs is None or cs == cs2, \
+                    f"nondeterministic cyclic render: {cs} != {cs2}"
+                cs = cs2
+            checksum += cs
+            whole_chunks = st.num_blocks // CHUNK
+            audio = st.batch * whole_chunks * CHUNK * st.block / 44100.0
+            total_audio += audio
+            total_wall += wall
+            detail.append({"voices": f"cyclic-{k}v", "rows": st.batch,
+                           "distinct_scripts": 1,
+                           "wall_s": round(wall, 3),
+                           "x_rt": round(audio / wall, 1)})
+            emit(partial=True)
+        compat_tls = leftovers
     if compat_tls:
         from skred_tpu.parallel.batch import render_stacked
 

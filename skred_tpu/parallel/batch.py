@@ -314,8 +314,16 @@ def _relevant_voices(params: dict) -> np.ndarray:
     return np.array(sorted(rel), dtype=np.int32)
 
 
-def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
+def pack_stacked(st: StackedTimelines, pack: bool = True,
+                 cyclic: bool = False) -> StackedTimelines:
     """Pack each script's relevant voices densely (fused-engine layout).
+
+    ``cyclic=True`` selects the cyclic-engine layout instead: packed
+    lanes in ascending ORIGINAL index order (no tiers, no source
+    prefix), so the per-frame serial voice loop of engine/cyclic.py
+    preserves the reference's evaluation order; the ``*_delayed`` /
+    ``*_self`` flags (computed from original indices either way) carry
+    the same-frame-vs-previous read rule.
 
     Voices are laid out by modulation-DAG depth ("tiers"): tier k's lanes
     read only tiers < k, so the fused engine renders each voice exactly
@@ -360,8 +368,13 @@ def pack_stacked(st: StackedTimelines, pack: bool = True) -> StackedTimelines:
                 cache[key] = (rel, depths, src)
             infos.append(cache[key])
 
-        tiers_ok = all(d is not None for _, d, _ in infos)
-        if tiers_ok:
+        tiers_ok = (not cyclic) and all(d is not None for _, d, _ in infos)
+        if cyclic:
+            perms = [np.array(sorted(rel.tolist()), dtype=np.int32)
+                     for rel, _, _ in infos]
+            vp = max((len(p) for p in perms), default=1)
+            n_src = 0
+        elif tiers_ok:
             n_tiers = max((max(d.values()) + 1 if d else 1)
                           for _, d, _ in infos)
             tsizes = [0] * n_tiers

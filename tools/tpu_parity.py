@@ -131,11 +131,15 @@ def main() -> None:
     bank = WaveBank()
     tls = []
     kept = []
+    cyclic = []          # (name, tl): dedicated cyclic engine (bucketed)
     for n in names:
         tl = compile_script(script_path(n).read_text().splitlines(), seconds,
                             bank=bank, script_dir=REF)
         if tl.fused_passes is None:
-            print(f"SKIP {n}: cyclic modulation graph (compat engine only)")
+            if bucketed and not fast:
+                cyclic.append((n, tl))
+            else:
+                print(f"SKIP {n}: cyclic graph (compat engine only)")
             continue
         tls.append(tl)
         kept.append(n)
@@ -191,6 +195,35 @@ def main() -> None:
             shapes.append({"voices": int(key[0]), "passes": int(key[1]),
                            "rows": int(st.batch), "scripts": len(gn)})
             print(f"bucket v{key[0]} p{key[1]} x{st.batch} {gn}: done",
+                  flush=True)
+        # cyclic scripts: the dedicated per-frame Pallas engine, same
+        # bucket shapes bench.py times (1024 replicated rows, CHUNK
+        # streaming) — the compat scan stays the CPU oracle below
+        for n, tl in cyclic:
+            from skred_tpu.engine.cyclic import (ROWS_QUANTUM, cyclic_gate,
+                                                 render_cyclic_stream)
+
+            st = pack_stacked(stack_timelines([tl] * ROWS_QUANTUM),
+                              cyclic=True)
+            reason = cyclic_gate(st)
+            if reason is not None:
+                print(f"SKIP {n}: cyclic, {reason} (compat engine only)")
+                continue
+            whole = st.num_blocks // CHUNK
+            chunks = []
+            for chunk in render_cyclic_stream(st, CHUNK, keep_rows=1):
+                chunks.append(chunk)
+                if len(chunks) >= whole:
+                    break
+            o = np.concatenate(chunks, axis=1)
+            outs[n] = o[0]
+            kept.append(n)
+            out_len = o.shape[1] if out_len is None else min(out_len,
+                                                             o.shape[1])
+            k = st.params["amp"].shape[-1]
+            shapes.append({"voices": f"cyclic-{k}v", "passes": 0,
+                           "rows": int(st.batch), "scripts": 1})
+            print(f"bucket cyclic-{k}v x{st.batch} ['{n}']: done",
                   flush=True)
         out = np.stack([outs[n][:out_len] for n in kept])
         print(f"TPU render: {time.time() - t0:.1f}s "
