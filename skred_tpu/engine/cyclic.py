@@ -37,6 +37,7 @@ Reference: /root/reference/synth.c:526-612 (frame loop), :217-275
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -57,6 +58,13 @@ I32 = jnp.int32
 
 SLOT_ROWS = K.SLOT_ROWS          # 256 rows x 128 = one 32768-sample window
 ROWS_QUANTUM = K.LANE_QUANTUM    # 1024 batch rows per grid step
+
+CYC_ABLATE = frozenset(
+    x for x in os.environ.get("SKRED_CYC_ABLATE", "").split(",") if x)
+#   Debug/timing-ablation ONLY (renders become invalid): "reads" stubs
+#   cross-voice modulator reads, "lookup" the table gather, "cz" the
+#   warp, "dsp" the hold/quant/filter/env/am/smoother pipeline, "pan"
+#   per-sample pan, "all" the entire voice body (plumbing + DMA only).
 
 
 def cyclic_gate(st) -> Optional[str]:
@@ -102,8 +110,8 @@ def _make_cyclic_kernel(fkey, n, exact):
         tab_ref = next(it)                   # HBM [R, 128] flat buffer
 
         def vk(ref):
-            """Per-voice (8,128) rows of a (k, 1, 8, 128) vec block."""
-            return [ref[v, 0] for v in range(k)]
+            """Per-voice (8,128) rows of a (k, 8, 128) vec block."""
+            return [ref[v] for v in range(k)]
 
         amp = vk(next(it))
         pinc = vk(next(it))
@@ -207,7 +215,7 @@ def _make_cyclic_kernel(fkey, n, exact):
         pnr_o = next(it)
         vg_o = next(it)
 
-        tab_s = next(it)                     # VMEM (k, SLOT_ROWS, 128)
+        tab_ss = [next(it) for _ in range(k)]   # k x VMEM (SLOT_ROWS, 128)
         sem = next(it)
 
         p = pl.program_id(0)
@@ -215,9 +223,12 @@ def _make_cyclic_kernel(fkey, n, exact):
         @pl.when(p == 0)
         def _fetch_tables():
             for v in range(k):
+                # explicit i32: x64 mode makes bare python-int / SMEM
+                # scalar index arithmetic i64, which tpu.memref_slice
+                # rejects on real hardware (interpret mode tolerates it)
+                r0 = jnp.int32(row0_sm[v])
                 cp = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(row0_sm[v], SLOT_ROWS)],
-                    tab_s.at[v], sem)
+                    tab_ref.at[pl.ds(r0, SLOT_ROWS)], tab_ss[v], sem)
                 cp.start()
                 cp.wait()
 
@@ -237,12 +248,14 @@ def _make_cyclic_kernel(fkey, n, exact):
 
         def lookup(v, idx):
             """tab_s[v] gather at per-lane in-table indices (8,128)."""
+            if "lookup" in CYC_ABLATE:
+                return idx.astype(F32) * F32(1e-9)
             local = idx + dloc_sm[v]
             grow = jax.lax.shift_right_logical(local, jnp.int32(7))
             col = jax.lax.bitwise_and(local, jnp.int32(127))
 
             def row(c, acc):
-                bc = jnp.broadcast_to(tab_s[v, pl.ds(c, 1), :], shape)
+                bc = jnp.broadcast_to(tab_ss[v][pl.ds(c, 1), :], shape)
                 g = jax.lax.gather(
                     bc, col[..., None], dnums, slice_sizes=(1, 1),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
@@ -255,6 +268,8 @@ def _make_cyclic_kernel(fkey, n, exact):
             """Modulator read with the serial-frame rule: packed order is
             ascending original index, so non-delayed targets are already
             in ``cur``; delayed (>= reader, incl. self) read ``prev``."""
+            if "reads" in CYC_ABLATE:
+                return zero
             val = zero
             use_prev = delayed != 0
             for j in range(k):
@@ -283,6 +298,11 @@ def _make_cyclic_kernel(fkey, n, exact):
             pnl_n = list(pnl)
             pnr_n = list(pnr)
             for v in range(k):
+                if "all" in CYC_ABLATE:
+                    cur[v] = amp[v]
+                    mix_l = mix_l + amp[v]
+                    mix_r = mix_r + amp[v]
+                    continue
                 fin_b = (fin[v] != 0) if finish else False
                 active = amp_nz[v] if not finish else (~fin_b & amp_nz[v])
                 # ---- oscillator (osc_next synth.c:217-275) ----
@@ -314,7 +334,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                                     jnp.where(under, wrap_under, phv))
                 ph2 = jnp.where(bad, F32(0.0), ph2)
                 # ---- CZ warp + index + lookup ----
-                if cz:
+                if cz and "cz" not in CYC_ABLATE:
                     if czm:
                         rdm = read_mod(v, cm_osc[v], cm_del[v], cur, prev)
                         dm = jnp.where(cm_ge[v] != 0, rdm * cm_dep[v],
@@ -349,7 +369,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                     fin_n[v] = jnp.where(adv & fin_osc, jnp.int32(1),
                                          fin[v])
                 # ---- sample & hold (synth.c:560-571) ----
-                if hold:
+                if hold and "dsp" not in CYC_ABLATE:
                     h_on = hold_on[v] != 0
                     hv2 = jnp.where(h_on & (hc[v] == 0), f, hv[v])
                     s1 = jnp.where(h_on, hv2, f)
@@ -362,14 +382,14 @@ def _make_cyclic_kernel(fkey, n, exact):
                 else:
                     s1 = f
                 # ---- bit quantizer (synth.c:341-345) ----
-                if quant:
+                if quant and "dsp" not in CYC_ABLATE:
                     iv = K._kfma(s1, levels[v], F32(0.5)) \
                         .astype(I32).astype(F32)
                     s2 = jnp.where(quant_on[v] != 0, iv * inv_lev[v], s1)
                 else:
                     s2 = s1
                 # ---- biquad (mmf_process synth.c:349-364) ----
-                if flt:
+                if flt and "dsp" not in CYC_ABLATE:
                     fv = b1[v] * x1[v]
                     fv = fma(b0[v], s2, fv)
                     fv = fma(b2[v], x2[v], fv)
@@ -385,7 +405,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                 else:
                     s3 = s2
                 # ---- amp / envelope / amp-mod / smoother ----
-                if env_a:
+                if env_a and "dsp" not in CYC_ABLATE:
                     count = cb + t
                     tf = (count - env_start[v]).astype(F32)
                     trf = (count - env_relat[v]).astype(F32)
@@ -407,7 +427,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                     final = amp[v] * env
                 else:
                     final = amp[v]
-                if am:
+                if am and "dsp" not in CYC_ABLATE:
                     amr = read_mod(v, am_osc[v], am_del[v], cur, prev)
                     if am_self_f:
                         amr = jnp.where(am_osc[v] == jnp.int32(v), s3,
@@ -415,7 +435,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                     ampmod = jnp.where(am_osc[v] >= 0, amr * am_dep[v],
                                        F32(1.0))
                     final = final * ampmod
-                if sm:
+                if sm and "dsp" not in CYC_ABLATE:
                     sg2 = fma(smoothing[v], final - sg[v], sg[v])
                     u_sm = use_sm[v] != 0
                     final2 = jnp.where(u_sm, sg2, final)
@@ -427,7 +447,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                 cur[v] = sample_out
                 # ---- pan (+pan-mod) + mix (synth.c:595-612) ----
                 dc0 = (disconn[v] == 0) if disc else True
-                if pm:
+                if pm and "pan" not in CYC_ABLATE:
                     pmr = read_mod(v, pm_osc[v], pm_del[v], cur, prev)
                     if pm_self_f:
                         pmr = jnp.where(pm_self[v] != 0, sample_out, pmr)
@@ -448,7 +468,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                 mix_r = mix_r + jnp.where(contrib, sample_out * prv,
                                           F32(0.0))
             # ---- master volume smoother (synth.c:616-624) ----
-            vg_n = fma(F32(0.002), vf_ref[0] - vg, vg)
+            vg_n = fma(F32(0.002), vf_ref[...] - vg, vg)
             out_l[t] = mix_l * vg_n
             out_r[t] = mix_r * vg_n
             return (tuple(ph_n), tuple(fin_n), tuple(cur), tuple(hc_n),
@@ -459,13 +479,13 @@ def _make_cyclic_kernel(fkey, n, exact):
         def vload(ref, none_val):
             if ref is None:
                 return tuple(none_val for _ in range(k))
-            return tuple(ref[v, 0] for v in range(k))
+            return tuple(ref[v] for v in range(k))
 
         init = (vload(ph_in, zero), vload(fin_in, zero_i),
                 vload(prev_in, zero), vload(hc_in, zero_i),
                 vload(hv_in, zero), vload(x1_in, zero), vload(x2_in, zero),
                 vload(y1_in, zero), vload(y2_in, zero), vload(sg_in, zero),
-                vload(pnl_in, zero), vload(pnr_in, zero), vg_in[0])
+                vload(pnl_in, zero), vload(pnr_in, zero), vg_in[...])
         (ph_e, fin_e, prev_e, hc_e, hv_e, x1_e, x2_e, y1_e, y2_e, sg_e,
          pnl_e, pnr_e, vg_e) = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(n), body, init)
@@ -474,7 +494,7 @@ def _make_cyclic_kernel(fkey, n, exact):
             if ref is None:
                 return
             for v in range(k):
-                ref[v, 0] = vals[v]
+                ref[v] = vals[v]
 
         vstore(ph_o, ph_e)
         vstore(prev_o, prev_e)
@@ -488,7 +508,7 @@ def _make_cyclic_kernel(fkey, n, exact):
         vstore(sg_o, sg_e)
         vstore(pnl_o, pnl_e)
         vstore(pnr_o, pnr_e)
-        vg_o[0] = vg_e
+        vg_o[...] = vg_e
 
     return kernel
 
@@ -510,13 +530,15 @@ def cyclic_block_pallas(table2, row0s, dlocs, cbase, noise_blk, vecs,
     assert B % ROWS_QUANTUM == 0, f"batch {B} not a ROWS_QUANTUM multiple"
     r = B // 128
     grid = (B // ROWS_QUANTUM,)
-    vec = pl.BlockSpec((k, 1, 8, 128),
-                       lambda i, *_: (0, 0, i, 0))
-    one = pl.BlockSpec((1, 8, 128), lambda i, *_: (0, i, 0))
-    seq = pl.BlockSpec((n, 8, 128), lambda i, *_: (0, i, 0))
+    # index maps use i*0, NOT python 0: under x64 a literal 0 traces as
+    # an i64 block offset, which Mosaic rejects with an opaque
+    # "failed to legalize operation 'func.func'" (probe-bisected on chip)
+    vec = pl.BlockSpec((k, 8, 128), lambda i, *_: (i * 0, i, i * 0))
+    one = pl.BlockSpec((8, 128), lambda i, *_: (i, i * 0))
+    seq = pl.BlockSpec((n, 8, 128), lambda i, *_: (i * 0, i, i * 0))
 
-    wk = lambda a: a.reshape(k, 1, r, 128)
-    w1 = lambda a: a.reshape(1, r, 128)
+    wk = lambda a: a.reshape(k, r, 128)
+    w1 = lambda a: a.reshape(r, 128)
 
     ins = [table2]
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
@@ -592,8 +614,8 @@ def cyclic_block_pallas(table2, row0s, dlocs, cbase, noise_blk, vecs,
     ins.append(w1(states["vol_gain"]))
     in_specs.append(one)
 
-    sdk = lambda dt: jax.ShapeDtypeStruct((k, 1, r, 128), dt)
-    sd1 = lambda dt: jax.ShapeDtypeStruct((1, r, 128), dt)
+    sdk = lambda dt: jax.ShapeDtypeStruct((k, r, 128), dt)
+    sd1 = lambda dt: jax.ShapeDtypeStruct((r, 128), dt)
     sdn = lambda dt: jax.ShapeDtypeStruct((n, r, 128), dt)
     out_specs = [seq, seq, vec, vec]
     out_shape = [sdn(F32), sdn(F32), sdk(F32), sdk(F32)]
@@ -623,8 +645,9 @@ def cyclic_block_pallas(table2, row0s, dlocs, cbase, noise_blk, vecs,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((k, SLOT_ROWS, 128), F32),
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=[pltpu.VMEM((SLOT_ROWS, 128), F32)
+                            for _ in range(k)]
+            + [pltpu.SemaphoreType.DMA],
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(

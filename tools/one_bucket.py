@@ -27,7 +27,9 @@ def main():
         pack_stacked, pad_segments_pow2, stack_timelines)
 
     bank = WaveBank()
-    tl = compile_script((REF / NAME).read_text().splitlines(), SECONDS,
+    corpus = pathlib.Path(__file__).resolve().parents[1] / "corpus" / NAME
+    path = corpus if corpus.exists() else REF / NAME
+    tl = compile_script(path.read_text().splitlines(), SECONDS,
                         bank=bank, script_dir=REF)
     k = bucket_key(tl)
     group = fill_bucket([tl], k[0], 4)
