@@ -187,6 +187,11 @@ def cmd_cz_show(args) -> int:
 
 def cmd_scope(args) -> int:
     _force_platform(args.platform)
+    if args.png:
+        from skred_tpu.frontends.scope_px import export_png
+
+        return export_png(args.script, args.png, seconds=args.seconds,
+                          n_frames=args.png_frames)
     from skred_tpu.frontends.scope_view import main as scope_main
 
     return scope_main(args.script, seconds=args.seconds, fps=args.fps,
@@ -267,6 +272,11 @@ def main(argv=None) -> int:
                     help="animate as fast as rendered (no audio-clock pace)")
     sc.add_argument("--window", type=int, default=2048,
                     help="samples per screen")
+    sc.add_argument("--png", default=None, metavar="OUT",
+                    help="write the reference scope's 800x480 pixel "
+                         "picture to OUT instead of animating")
+    sc.add_argument("--png-frames", type=int, default=1,
+                    help="filmstrip: stack N frames spaced over the render")
     sc.set_defaults(fn=cmd_scope)
 
     cz = sub.add_parser("cz-show",
