@@ -926,6 +926,82 @@ def _cz_warp_k(mode, ph, d, tsize, exact=True, scales=None, phase=None,
     return out * tsize
 
 
+def _cz_warp_coeffs(mode, scales, modes=CZ_ALL):
+    """Collapse the warp's mode set into per-lane curve coefficients.
+
+    Modes 1/2/3/5 of cz_phasor (synth.c:149-215) are all one-knee
+    piecewise-linear curves ``phase < knee ? phase*sA
+    : fma(phase-c, sB, off)``; selecting the four coefficients per lane
+    ONCE per block collapses them into a single evaluation, and modes
+    6/7 share one fast_pow with a per-lane exponent.  The CZ mode is a
+    block constant (cz-mod only perturbs d), so in a tier without
+    per-sample d edges every select below hoists out of the sample
+    loop — the warp drops from one curve evaluation per mode present
+    (up to 4 exact fmas + 2 fast_pows on stress64's 7-mode tier) to one
+    piecewise-linear eval + at most one fast_pow per lane-sample.
+
+    Bit-equality with _cz_warp_k per mode (tests/test_mega.py): the only
+    rewritten expression is mode 2's upper branch ``fma(-(1-phase), s,
+    1)`` → ``fma(phase-1, s, 1)`` — round-to-nearest negation symmetry
+    makes ``-(1-phase)`` and ``phase-1`` the same f32 for every phase
+    (the phase==1 signed zero washes out in the fma against off=1)."""
+    d, s1a, s1b, sc2, sc5b, p6, p7 = scales
+    half, one = F32(0.5), F32(1.0)
+    plm = [k for k in (1, 2, 3, 5) if k in modes]
+    is_pl = knee = sa = c = sb = off = None
+    if plm:
+        # (knee, sA, c, sB, off) per mode; init from the first present
+        # mode, later modes overwrite their own lanes, non-PL lanes are
+        # masked by is_pl at evaluation time.
+        table = {1: (d, s1a, d, s1b, half),
+                 2: (half, sc2, one, sc2, one),
+                 3: (half, sc2, half, sc2, half),
+                 5: (half, sc2, half, sc5b, half)}
+        is_pl = mode == plm[0]
+        knee, sa, c, sb, off = (jnp.broadcast_to(x, jnp.shape(mode))
+                                for x in table[plm[0]])
+        for k in plm[1:]:
+            mk = mode == k
+            is_pl = jnp.logical_or(is_pl, mk)
+            kn, a2, c2, b2, o2 = table[k]
+            knee = jnp.where(mk, kn, knee)
+            sa = jnp.where(mk, a2, sa)
+            c = jnp.where(mk, c2, c)
+            sb = jnp.where(mk, b2, sb)
+            off = jnp.where(mk, o2, off)
+    is_pw = pexp = None
+    pwm = [k for k in (6, 7) if k in modes]
+    if pwm == [6]:
+        is_pw, pexp = mode == 6, jnp.broadcast_to(p6, jnp.shape(mode))
+    elif pwm == [7]:
+        is_pw, pexp = mode == 7, jnp.broadcast_to(p7, jnp.shape(mode))
+    elif pwm:
+        is_pw = jnp.logical_or(mode == 6, mode == 7)
+        pexp = jnp.where(mode == 7, p7, p6)
+    return (is_pl, knee, sa, c, sb, off, is_pw, pexp)
+
+
+def _cz_warp_fast(coeffs, mode, phase, tsize, exact=True, modes=CZ_ALL):
+    """Hoisted-coefficient CZ phasor: bit-equal to _cz_warp_k under the
+    same scales (proven mode-by-mode in tests/test_mega.py), evaluating
+    one collapsed piecewise-linear curve + at most one fast_pow instead
+    of every mode's curve.  ``coeffs`` comes from _cz_warp_coeffs at the
+    per-block hoist site."""
+    fma = _kfma if exact else (lambda a, b, c: a * b + c)
+    is_pl, knee, sa, c, sb, off, is_pw, pexp = coeffs
+    out = phase
+    if is_pl is not None:
+        pl_v = jnp.where(phase < knee, phase * sa,
+                         fma(phase - c, sb, off))
+        out = jnp.where(is_pl, pl_v, out)
+    if 4 in modes:
+        out = jnp.where(mode == 4, jnp.fmod(phase * F32(2.0), F32(1.0)),
+                        out)
+    if is_pw is not None:
+        out = jnp.where(is_pw, _k_fast_pow(phase, pexp, exact), out)
+    return out * tsize
+
+
 def to_vm_seq(a: jnp.ndarray) -> jnp.ndarray:
     """[B, V, N] → [N, V*B] voice-major lanes (lane = v*B + b): replicated
     rows of the same script land on consecutive lanes, so the megakernel's
@@ -1164,8 +1240,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             else:
                 d_row = dist_row + dmv_ref[0]
                 # d constant across the block: hoist the warp's four
-                # scale divides out of the per-chunk loop
+                # scale divides AND the per-mode curve selection out of
+                # the per-chunk loop (_cz_warp_coeffs)
                 cz_scales_row = _cz_scales(d_row, exact, cz_modes)
+                cz_coeffs_row = _cz_warp_coeffs(mode_row, cz_scales_row,
+                                                cz_modes)
         # chunk so the (TC, sub, 128) vector temporaries stay ~0.5 MB
         # regardless of step width
         TC = n
@@ -1189,13 +1268,15 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                                     dm_ref[pl.ds(t0, TC)] * czdep[None],
                                     F32(1.0))
                     d3 = dist_row[None] + dm3
-                    scales3 = None           # d varies per sample
+                    warped = _cz_warp_k(mode_row[None], ph3, d3,
+                                        tsz_row[None], exact, None,
+                                        phase3, cz_modes)
                 else:
-                    d3 = None
-                    scales3 = tuple(s[None] if s is not None else None
-                                    for s in cz_scales_row)
-                warped = _cz_warp_k(mode_row[None], ph3, d3, tsz_row[None],
-                                    exact, scales3, phase3, cz_modes)
+                    coeffs3 = tuple(x[None] if x is not None else None
+                                    for x in cz_coeffs_row)
+                    warped = _cz_warp_fast(coeffs3, mode_row[None],
+                                           phase3, tsz_row[None], exact,
+                                           cz_modes)
                 idx_f = jnp.where((mode_row != 0)[None], warped, ph3)
             else:
                 idx_f = ph3

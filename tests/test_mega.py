@@ -79,6 +79,51 @@ def test_kdiv_inv_matches_kdiv():
         f"{got[bad][:3]} != {want[bad][:3]}")
 
 
+@pytest.mark.parametrize("modes", [
+    kernels.CZ_ALL, (1,), (1, 4), (2, 3, 5), (6,), (7,), (6, 7),
+    (1, 2, 3, 4, 5), (4, 6, 7)])
+@pytest.mark.parametrize("exact", [True, False])
+def test_cz_warp_fast_matches_warp_k(modes, exact):
+    """The collapsed hoisted-coefficient warp (_cz_warp_coeffs +
+    _cz_warp_fast) must be bit-equal to the per-mode _cz_warp_k for
+    every mode subset, including the knee/endpoint phases (0, d, 0.5,
+    1.0) where the mode-2 rewrite fma(-(1-phase),s,1) == fma(phase-1,
+    s,1) relies on round-to-nearest negation symmetry."""
+    rng = np.random.default_rng(13)
+    n = 200_000
+    mode = rng.integers(0, 8, n).astype(np.int32)  # incl. absent + 0
+    d = rng.uniform(0.0, 1.1, n).astype(np.float32)  # pre-clip range
+    tsize = rng.choice(np.array([707, 2048, 4096, 28932, 52320],
+                                np.float32), n)
+    frac = np.concatenate([
+        rng.uniform(0, 1, n - 4 * (n // 8)).astype(np.float32),
+        np.full(n // 8, 0.0, np.float32),
+        np.full(n // 8, 0.5, np.float32),
+        np.full(n // 8, 1.0 - 2 ** -24, np.float32),
+        d[:n // 8],                      # sit exactly on mode 1's knee
+    ])[:n]
+    ph = (frac * tsize).astype(np.float32)
+
+    def both(mode, ph, d, tsize):
+        scales = kernels._cz_scales(d, exact, modes)
+        phase = kernels._kdiv(ph, tsize) if exact else ph / tsize
+        old = kernels._cz_warp_k(mode, ph, None, tsize, exact, scales,
+                                 phase, modes)
+        coeffs = kernels._cz_warp_coeffs(mode, scales, modes)
+        new = kernels._cz_warp_fast(coeffs, mode, phase, tsize, exact,
+                                    modes)
+        return old, new
+
+    old, new = jax.jit(both)(jnp.asarray(mode), jnp.asarray(ph),
+                             jnp.asarray(d), jnp.asarray(tsize))
+    old, new = np.asarray(old), np.asarray(new)
+    bad = old.view(np.int32) != new.view(np.int32)
+    assert not bad.any(), (
+        f"modes={modes} exact={exact}: {bad.sum()} bit mismatches, "
+        f"first mode {mode[bad][:3]} ph {ph[bad][:3]} d {d[bad][:3]} "
+        f"-> {new[bad][:3]} != {old[bad][:3]}")
+
+
 def _mega_vs_xla(lines_list, seconds=0.15, reps=2):
     bank = WaveBank()
     tls = []
