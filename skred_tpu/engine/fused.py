@@ -103,6 +103,13 @@ class Feat(NamedTuple):
     #                        # (P = |pm_lanes|) instead of the full
     #                        # [B, Vp, N] materialization.
     pm_srcs: tuple = ()      # packed lanes any pan-mod edge READS
+    ts_pow2: bool = False    # every table_size in ANY segment/lane a
+    #                        # power of two (w0-w6 4096, Korg 2048 —
+    #                        # i.e. everything but PCM/WAV slots): phase
+    #                        # normalization ph/tsize is then an EXACT
+    #                        # multiply by the hoisted reciprocal, so
+    #                        # the megakernel skips the per-sample
+    #                        # Markstein correction (2 software fmas)
 
 
 def compute_feat(st, lanes=None) -> Feat:
@@ -149,6 +156,11 @@ def compute_feat(st, lanes=None) -> Feat:
                            (arr("pan_mod_osc") >= 0).any(axis=(0, 1)))[0]),
         pm_srcs=tuple(int(v) for v in np.unique(arr("pan_mod_osc"))
                       if v >= 0),
+        # ts=0 lanes pass too: inf·ph and the _kdiv_inv fallback ph/0
+        # agree (inf for ph>0, nan for ph==0), and only cz lanes (which
+        # always carry a real table) consume the normalized phase
+        ts_pow2=bool((np.bitwise_and(arr("table_size"),
+                                     arr("table_size") - 1) == 0).all()),
     )
 
 
@@ -865,7 +877,7 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
 
     mfeat = (feat.fm, feat.cz, feat.czm, feat.env, feat.flt, feat.sm,
              feat.hold, feat.quant, feat.am, feat.am_self, feat.finish,
-             feat.direction, tuple(feat.cz_modes))
+             feat.direction, tuple(feat.cz_modes), feat.ts_pow2)
     out, res = K.tier_pallas(tab2, slot, cbase, inc_in, dm_in, amod_in,
                              vecs, states, feat=mfeat, exact=exact, n=N)
     fvv = lambda a: K.from_vm_vec(a, B, V_)

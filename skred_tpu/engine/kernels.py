@@ -1030,9 +1030,9 @@ SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
 
 
 def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
-    """The fused tier kernel body.  ``feat`` is a 13-tuple of static
+    """The fused tier kernel body.  ``feat`` is a 14-tuple of static
     flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish,
-    direction, cz_modes); stages off for the tier vanish from the
+    direction, cz_modes, ts_pow2); stages off for the tier vanish from the
     compiled loop, and the CZ warp computes only the mode curves in
     ``cz_modes``.
 
@@ -1052,7 +1052,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
          in-kernel (amplitude-only → native divide is enough)
     """
     (fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish,
-     dirn, cz_modes) = feat
+     dirn, cz_modes, ts_pow2) = feat
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
     sub = g_lanes // 128                     # sublane rows per step (8)
 
@@ -1160,14 +1160,41 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         else:
             inc_const = inc_ref[0]
 
+        # chunk size for the vector phases: the (TC, sub, 128)
+        # temporaries stay ~0.5 MB regardless of step width
+        TC = n
+        for c in (128, 64, 32, 16):
+            if n % c == 0 and c * sub <= 1024:
+                TC = c
+                break
+
+        # ---- phase 0 (fm only): the FM increment is a pure function of
+        # the modulator-read stream (synth.c:548-555, no recurrence), so
+        # build it VECTORIZED into idx_s — bitcast i32 scratch that
+        # phase 2 only overwrites after phase 1 has consumed it — instead
+        # of paying the exact software fma on the serial carry chain
+        # (mega_ablate round 4: the walk owned 27% of stress64's wall)
+        if fm and "phase1" not in MEGA_ABLATE:
+            def ibody(q, _):
+                t0 = q * jnp.int32(TC)
+                g3 = inc_ref[pl.ds(t0, TC)] * fmdep[None]
+                inc3 = jnp.where(use_fm[None],
+                                 fma(mis[None], g3, pinc[None]),
+                                 pinc[None])
+                if dirn:
+                    inc3 = jnp.where(dirneg[None], -inc3, inc3)
+                idx_s[pl.ds(t0, TC)] = jax.lax.bitcast_convert_type(
+                    inc3, I32)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), ibody,
+                              jnp.int32(0))
+
         # ---- phase 1: serial phase walk + alive count ----
         def pbody(t, carry):
             ph_c, fin_c, cnt_c = carry
             if fm:
-                g = inc_ref[t] * fmdep
-                inc_t = jnp.where(use_fm, fma(mis, g, pinc), pinc)
-                if dirn:
-                    inc_t = jnp.where(dirneg, -inc_t, inc_t)
+                inc_t = jax.lax.bitcast_convert_type(idx_s[t], F32)
             else:
                 inc_t = inc_const
             ph = ph_c + inc_t
@@ -1231,7 +1258,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             tsz_row = tsize_v[0]
             # hoisted once per grid step: the correctly-rounded
             # reciprocal of the (invariant) table size — per-sample
-            # phase normalization then needs only _kdiv_inv's two fmas
+            # phase normalization then needs only _kdiv_inv's two fmas,
+            # or (ts_pow2: every table size in the bucket a power of
+            # two, the w0-w6/Korg case) just the exact multiply —
+            # ph·2^-k is a single rounding of the real quotient, so the
+            # Markstein correction is the identity there
             if exact:
                 inv_ts_row = _kdiv(F32(1.0), tsz_row)
             if czm:
@@ -1245,19 +1276,13 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                 cz_scales_row = _cz_scales(d_row, exact, cz_modes)
                 cz_coeffs_row = _cz_warp_coeffs(mode_row, cz_scales_row,
                                                 cz_modes)
-        # chunk so the (TC, sub, 128) vector temporaries stay ~0.5 MB
-        # regardless of step width
-        TC = n
-        for c in (128, 64, 32, 16):
-            if n % c == 0 and c * sub <= 1024:
-                TC = c
-                break
-
         def cbody(q, _):
             t0 = q * jnp.int32(TC)
             ph3 = ph_s[pl.ds(t0, TC)]                  # (TC, sub, 128)
             if cz:
-                if exact:
+                if exact and ts_pow2:
+                    phase3 = ph3 * inv_ts_row[None]
+                elif exact:
                     phase3 = _kdiv_inv(ph3, inv_ts_row[None],
                                        tsz_row[None])
                 else:
@@ -1617,13 +1642,13 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
 
     vecs: dict of per-lane [M] parameter vectors (voice-major — see
     to_vm_vec); states: dict of per-lane [M] carried DSP state.  ``feat``
-    is the static 11-tuple (fm, cz, czm, env, flt, sm, hold, quant, am,
-    am_self, finish).
+    is the static feature tuple (fm, cz, czm, env, flt, sm, hold, quant,
+    am, am_self, finish, direction, cz_modes, ts_pow2).
 
     Returns (out [N, M], dict of end-state [M] vectors incl. ``cnt`` —
     the alive-prefix length per lane)."""
     (fm, cz, czm, env_a, flt, sm, hold, quant, am_a, am_self_f, finish,
-     dirn, cz_modes) = feat
+     dirn, cz_modes, ts_pow2) = feat
     m = slot.shape[0]
     assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
     n_seq = 1 + (1 if fm else 0) + (1 if (cz and czm) else 0) \
@@ -1738,7 +1763,7 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
 
     outs = pl.pallas_call(
         _tier_kernel_for(tuple(bool(x) for x in feat[:12])
-                         + (tuple(cz_modes),), bool(exact),
+                         + (tuple(cz_modes), bool(ts_pow2)), bool(exact),
                          UNROLL if n % UNROLL == 0 else 1, n, g_lanes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -199,7 +199,7 @@ def test_mega_sublane_width_invariance():
     rng = np.random.default_rng(0)
     n, m = 64, 4096
     feat = (False, False, False, False, True, True, False, False,
-            False, False, False, False, ())     # flt + smoother
+            False, False, False, False, (), False)  # flt + smoother
     vecs = dict(
         base_off=np.zeros(m, np.int32),
         clip_i=np.full(m, 4095, np.int32),
@@ -254,7 +254,7 @@ def test_mega_sublane_width_invariance_fast():
     rng = np.random.default_rng(1)
     n, m = 64, 8192
     feat = (False, False, False, False, True, True, False, False,
-            False, False, False, False, ())     # flt + smoother
+            False, False, False, False, (), False)  # flt + smoother
     full = lambda v, dt=np.float32: np.full(m, v, dt)
     vecs = dict(
         base_off=np.zeros(m, np.int32), clip_i=full(4095, np.int32),
@@ -307,7 +307,7 @@ def test_mega_lane_padding_invariance():
     rng = np.random.default_rng(2)
     n, m = 64, 5120                      # 40 rows: % 16 != 0 -> pads
     feat = (False, False, False, False, True, True, False, False,
-            False, False, False, False, ())
+            False, False, False, False, (), False)
     full = lambda v, dt=np.float32: np.full(m, v, dt)
     vecs = dict(
         base_off=np.zeros(m, np.int32), clip_i=full(4095, np.int32),
