@@ -1341,23 +1341,32 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
             operand_batching_dims=(0,), start_indices_batching_dims=(0,))
 
+        # time-chunk length for the lookup: the row sweep serves rows
+        # between each TL-sample chunk's min and max index row, so a
+        # wrapping oscillator pays only the few rows its phase actually
+        # visits in TL samples (plus one full span on the chunk that
+        # wraps) instead of the whole table per step — mega_ablate
+        # round 4 put the step-wide sweep at 30% of stress64's wall
+        TL = n
+        for c in (64, 32, 16):
+            if n % c == 0:
+                TL = c
+                break
+
         def lookup_block(sb):
             """Uniform-check + windowed lookup for sub-block ``sb`` (8
             sublane rows = LANE_QUANTUM lanes) of this grid step."""
             rows = slice(8 * sb, 8 * (sb + 1))
-            idx2 = idx_s[:, rows, :].reshape(n * 8, 128)
-            grow = jax.lax.shift_right_logical(idx2, jnp.int32(7))
-            lo2 = jax.lax.bitwise_and(idx2, jnp.int32(127))
             slot_blk = slot_v[0][rows]       # (8, 128)
 
-            def sweep(sel, row0, acc):
+            def sweep(sel, grow, lo2, row0, acc):
                 hw = grow - row0             # window-relative rows
                 inw = sel & (hw >= 0) & (hw < jnp.int32(SLOT_ROWS))
                 hi_m = jnp.where(inw, hw, jnp.int32(SLOT_ROWS))
                 lo_m = jnp.where(inw, hw, jnp.int32(0))
 
                 def row(c, a):
-                    bc = jnp.broadcast_to(tab_s[pl.ds(c, 1), :], idx2.shape)
+                    bc = jnp.broadcast_to(tab_s[pl.ds(c, 1), :], grow.shape)
                     g = jax.lax.gather(
                         bc, lo2[..., None], dnums, slice_sizes=(1, 1),
                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
@@ -1366,7 +1375,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                 return jax.lax.fori_loop(jnp.min(hi_m), jnp.max(lo_m)
                                          + jnp.int32(1), row, acc)
 
-            def serve(sel, acc):
+            def serve(sel, grow, lo2, acc):
                 """Windowed lookup for the ``sel`` lanes: fetch each
                 32768-sample window between the selected rows' min and
                 max, sweep the rows present.  The window base is 64-row
@@ -1391,9 +1400,24 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
                         cp.wait()
                         cur[0] = row0
 
-                    return sweep(sel, row0, a)
+                    return sweep(sel, grow, lo2, row0, a)
 
                 return jax.lax.fori_loop(jnp.int32(0), nwin, win, acc)
+
+            def chunk(tc, sel8, init_zero):
+                """Serve one TL-sample time chunk for the sel8 lanes:
+                the row span is the chunk's actual index range."""
+                t0 = tc * jnp.int32(TL)
+                idx2 = idx_s[pl.ds(t0, TL), rows, :].reshape(TL * 8, 128)
+                grow = jax.lax.shift_right_logical(idx2, jnp.int32(7))
+                lo2 = jax.lax.bitwise_and(idx2, jnp.int32(127))
+                sel = jnp.broadcast_to(sel8[None], (TL, 8, 128)) \
+                    .reshape(TL * 8, 128)
+                acc = jnp.zeros(idx2.shape, F32) if init_zero \
+                    else f_s[pl.ds(t0, TL), rows, :].reshape(TL * 8, 128)
+                f_s[pl.ds(t0, TL), rows, :] = \
+                    serve(sel, grow, lo2, acc).reshape(TL, 8, 128)
+                return jnp.int32(0)
 
             lane0 = p * g_lanes + sb * LANE_QUANTUM
             s0 = slot_sm[lane0]
@@ -1403,9 +1427,10 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
 
             @pl.when(uniform)
             def _one_table():
-                full = jnp.ones(idx2.shape, jnp.bool_)
-                f_s[:, rows, :] = serve(full, jnp.zeros(idx2.shape, F32)) \
-                    .reshape(n, 8, 128)
+                full = jnp.ones((8, 128), jnp.bool_)
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TL),
+                                  lambda tc, _: chunk(tc, full, True),
+                                  jnp.int32(0))
 
             @pl.when(jnp.logical_not(uniform))
             def _slot_runs():
@@ -1417,11 +1442,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
 
                     @pl.when(start)
                     def _run():
-                        sel = jnp.broadcast_to((slot_blk == s_l)[None],
-                                               (n, 8, 128)) \
-                            .reshape(n * 8, 128)
-                        acc = f_s[:, rows, :].reshape(n * 8, 128)
-                        f_s[:, rows, :] = serve(sel, acc).reshape(n, 8, 128)
+                        sel8 = slot_blk == s_l
+                        jax.lax.fori_loop(
+                            jnp.int32(0), jnp.int32(n // TL),
+                            lambda tc, _: chunk(tc, sel8, False),
+                            jnp.int32(0))
 
                     return jnp.int32(0)
 
