@@ -192,6 +192,9 @@ MEGA_ALIAS = os.environ.get("SKRED_MEGA_ALIAS", "0") != "0"
 #                          32-row steps (one_bucket A/B, 2026-08).
 
 MEGA_SUB_MAX_FAST = int(os.environ.get("SKRED_MEGA_SUB_FAST", "64"))
+# lookup time-chunk length (samples); 0 = whole-step sweeps (the
+# pre-round-4 behavior) — probe knob for the chunked-lookup tradeoff
+MEGA_LOOKUP_TL = int(os.environ.get("SKRED_LOOKUP_TL", "64"))
 #                          fast mode (exact=False) widens further: its
 #                          serial bodies are short enough to stay
 #                          latency-bound at 8 vregs (see _mega_sub_pad)
@@ -1348,10 +1351,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         # wraps) instead of the whole table per step — mega_ablate
         # round 4 put the step-wide sweep at 30% of stress64's wall
         TL = n
-        for c in (64, 32, 16):
-            if n % c == 0:
-                TL = c
-                break
+        if MEGA_LOOKUP_TL > 0:
+            for c in (MEGA_LOOKUP_TL, 64, 32, 16):
+                if c < n and n % c == 0:
+                    TL = c
+                    break
 
         def lookup_block(sb):
             """Uniform-check + windowed lookup for sub-block ``sb`` (8
