@@ -95,6 +95,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from skred_tpu.assets import WaveBank
+    from skred_tpu.engine import kernels as _K
+    K_LOOKUP_TL = _K.MEGA_LOOKUP_TL
     from skred_tpu.engine.fused import (compute_feat, render_fused_device,
         render_fused_stream_device)
     from skred_tpu.engine.render import _render_jit  # noqa: F401 (compat import)
@@ -182,6 +184,9 @@ def main() -> None:
             "replicas": REPLICAS,
             "seconds_each": SECONDS,
             "chunk_blocks": CHUNK,
+            # renders stay bit-exact at any lookup chunk length, but a
+            # stale probe env var would skew perf — record non-defaults
+            **({"lookup_tl": K_LOOKUP_TL} if K_LOOKUP_TL != 64 else {}),
             "note": "audio credited per whole CHUNK-block chunk only; "
                     "rows = replicated batch size, distinct_scripts = "
                     "unique corpus scripts in the bucket",
