@@ -336,7 +336,7 @@ def _read_blocks_multi(est, prev_last, pairs):
 
 def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                       exact=False, use_pallas=False, feat=Feat(), N=None,
-                      full=None, rk="", mega=False):
+                      full=None, rk="", mega=False, mixw=None):
     """One block-level pass: compute a set of voices' full blocks.
 
     est: [B, V_src, N] modulator sample estimates (may be None when no
@@ -423,7 +423,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                           adv_v, lo, hi, L, os_noloop, tsize_f,
                           use_fm=use_fm if feat.fm else None,
                           mis=(mod_inc * p["freq_scale"]) if feat.fm
-                          else None)
+                          else None, mixw=mixw)
 
     B_ = B
     if use_pallas:
@@ -777,12 +777,13 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         x1=new_x1, x2=new_x2, y1=new_y1, y2=new_y2,
         smoother=new_smoother, pan_l=carry["pan_l"], pan_r=carry["pan_r"],
     )
-    return samples, contrib, (any_alive, il_out), new_carry
+    return samples, contrib, (any_alive, il_out), new_carry, None
 
 
 def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
                inc_row, reads, active0, fin_prev, adv_v,
-               lo, hi, L, os_noloop, tsize_f, use_fm=None, mis=None):
+               lo, hi, L, os_noloop, tsize_f, use_fm=None, mis=None,
+               mixw=None):
     """Single-pallas-call tier pass (kernels.tier_pallas): the whole
     per-voice DSP chain — phase walk, CZ warp, table lookup, envelope,
     S&H/quant/biquad/smoother — in one VMEM-resident kernel.  Replaces
@@ -878,8 +879,24 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
     mfeat = (feat.fm, feat.cz, feat.czm, feat.env, feat.flt, feat.sm,
              feat.hold, feat.quant, feat.am, feat.am_self, feat.finish,
              feat.direction, tuple(feat.cz_modes), feat.ts_pow2)
+    # in-kernel static-pan mix: per-lane stereo weights ride into the
+    # kernel and the cross-voice sum finishes in VMEM ([N, B] acc pair);
+    # eligible when the batch-chunk rows align with the step width
+    b_rows = B // 128 if B % 128 == 0 else 0
+    n_seq_k = 1 + (1 if feat.fm else 0) \
+        + (1 if (feat.cz and feat.czm) else 0) + (1 if feat.am else 0)
+    mix_on = (mixw is not None and b_rows > 0
+              and K.mix_rows(V_ * B, N, n_seq_k, bool(exact), b_rows))
+    kmixw = (f32v(mixw[0]), f32v(mixw[1])) if mix_on else None
     out, res = K.tier_pallas(tab2, slot, cbase, inc_in, dm_in, amod_in,
-                             vecs, states, feat=mfeat, exact=exact, n=N)
+                             vecs, states, feat=mfeat, exact=exact, n=N,
+                             mixw=kmixw, b_rows=b_rows if mix_on else 0)
+    # macc carries the raw [N, M] voice-major stream too: pan-mod / mod-
+    # source lanes slice it per voice ([N, B] columns), so the full
+    # [B, V, N] transpose of ``samples`` stays dead unless est/capture
+    # consumers need it
+    mix_acc = (res.pop("acc_l"), res.pop("acc_r"), out) \
+        if "acc_l" in res else None
     fvv = lambda a: K.from_vm_vec(a, B, V_)
     samples = K.from_vm_seq(out, B, V_)
     cnt = fvv(res["cnt"])
@@ -889,7 +906,10 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
         phase=fvv(res["phase"]),
         finished=fvv(res["finished"]).astype(I32) if feat.finish
         else carry["finished"],
-        sample=samples[..., -1],
+        # out_last (mix path) lets XLA dead-code-eliminate the [B, V, N]
+        # transpose of ``samples`` when nothing else consumes it
+        sample=fvv(res["out_last"]) if "out_last" in res
+        else samples[..., -1],
         hold_count=fvv(res["hold_count"]).astype(I32) if feat.hold
         else carry["hold_count"],
         hold_val=fvv(res["hold_val"]) if feat.hold else carry["hold_val"],
@@ -904,7 +924,7 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
         contrib = ((p["disconnect"] == 0) & active0)[..., None]
     else:
         contrib = active0[..., None]
-    return samples, contrib, (any_alive, il), new_carry
+    return samples, contrib, (any_alive, il), new_carry, mix_acc
 
 
 def _apply_ops_b(carry, ops, flag, feat=Feat()):
@@ -1073,19 +1093,49 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
         """Stereo mix from per-tier kernel outputs.
 
         parts: list of (samples_t [B,V_t,N], contrib_t [B,V_t,1|N],
-        aa_t, il_t, (ts, te)) in packed order.  Returns (mix_l, mix_r,
-        pan carry updates or None).  Per-lane TERMS are identical to the
+        aa_t, il_t, (ts, te), macc) in packed order; ``macc`` is the
+        tier kernel's in-kernel static-pan accumulator pair ([N, B]
+        each, kernels phase 5) or None.  Returns (mix_l, mix_r, pan
+        carry updates or None).  Per-lane TERMS are identical to the
         full concat path: masked lanes render exact zeros (kernel
         contract), so samples*where(c,pan,0) == where(c, samples*pan, 0),
         and the compact pan-mod read keeps one-hot semantics (0 + x is
         exact).  The REDUCTION is reassociated: pan-mod lanes sum after
-        the static-pan partials instead of in packed lane order, so
-        capture and non-capture mixes can differ at ULP level (well
-        inside the −60 dB parity gate; corpus-verified on chip)."""
+        the static-pan partials instead of in packed lane order (and the
+        in-kernel accumulator sums voices in grid-step order), so the
+        mix paths can differ at ULP level (well inside the −60 dB
+        parity gate; corpus-verified on chip)."""
         mix_l = mix_r = None
+        acc_l = acc_r = None
         pm_s, pm_c, pm_aa, pm_il, src_s = [], [], [], [], []
-        for samples_t, contrib_t, aa_t, il_t, (ts_, te) in parts:
+        for samples_t, contrib_t, aa_t, il_t, (ts_, te), macc in parts:
+            B = samples_t.shape[0]
+
+            def lane_cols(idx):
+                """[B, len(idx), N] voice streams without the full
+                [B, V, N] transpose: per-voice [N, B] column slices of
+                the raw kernel output."""
+                if macc is None:
+                    return samples_t[:, idx]
+                cols = jnp.stack([macc[2][:, v * B:(v + 1) * B]
+                                  for v in idx], axis=1)    # [N, P, B]
+                return jnp.transpose(cols, (2, 1, 0))
             loc = [v - ts_ for v in PMS if ts_ <= v < te]
+            if loc:
+                pm_s.append(lane_cols(loc))
+                pm_c.append(jnp.broadcast_to(contrib_t[:, loc],
+                                             (B, len(loc), block)))
+                pm_aa.append(aa_t[:, loc])
+                pm_il.append(il_t[:, loc])
+            sloc = [v - ts_ for v in SRC if ts_ <= v < te]
+            if sloc:
+                src_s.append(lane_cols(sloc))
+            if macc is not None:
+                # static-pan lanes already summed in VMEM (pm lanes were
+                # zero-weighted in the kernel): [N, B] partials
+                acc_l = macc[0] if acc_l is None else acc_l + macc[0]
+                acc_r = macc[1] if acc_r is None else acc_r + macc[1]
+                continue
             wl = jnp.where(contrib_t, carry["pan_l"][:, ts_:te, None],
                            F32(0.0))
             wr = jnp.where(contrib_t, carry["pan_r"][:, ts_:te, None],
@@ -1095,19 +1145,15 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 stat[0, loc, 0] = False
                 wl = jnp.where(stat, wl, F32(0.0))
                 wr = jnp.where(stat, wr, F32(0.0))
-                B = samples_t.shape[0]
-                pm_s.append(samples_t[:, loc])
-                pm_c.append(jnp.broadcast_to(contrib_t[:, loc],
-                                             (B, len(loc), block)))
-                pm_aa.append(aa_t[:, loc])
-                pm_il.append(il_t[:, loc])
-            sloc = [v - ts_ for v in SRC if ts_ <= v < te]
-            if sloc:
-                src_s.append(samples_t[:, sloc])
             l_t = (samples_t * wl).sum(axis=1)
             r_t = (samples_t * wr).sum(axis=1)
             mix_l = l_t if mix_l is None else mix_l + l_t
             mix_r = r_t if mix_r is None else mix_r + r_t
+        if acc_l is not None:
+            al = jnp.swapaxes(acc_l, 0, 1)            # [N, B] → [B, N]
+            ar = jnp.swapaxes(acc_r, 0, 1)
+            mix_l = al if mix_l is None else mix_l + al
+            mix_r = ar if mix_r is None else mix_r + ar
         if not PMS:
             return mix_l, mix_r, None
         pms = jnp.concatenate(pm_s, axis=1) if len(pm_s) > 1 else pm_s[0]
@@ -1218,10 +1264,30 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 # carry only the stages its own lanes use
                 ft = feat_tiers[ti] if feat_tiers is not None else feat
                 mg = bool(mega_tiers[ti]) if mega_tiers else False
-                samples_t, contrib_t, (aa_t, il_t), nc_t = _voice_block_pass(
+                mixw_t = None
+                if mg and not need_full and not ft.noise:
+                    # per-lane stereo weights for the in-kernel mix:
+                    # pan · (active & connected), pan-mod lanes zeroed
+                    # (they ride the compact slab in _mix_parts)
+                    act2 = p_t["amp"] != 0.0
+                    if ft.disc:
+                        act2 = act2 & (p_t["disconnect"] == 0)
+                    wl2 = jnp.where(act2, carry["pan_l"][:, ts_:te],
+                                    F32(0.0))
+                    wr2 = jnp.where(act2, carry["pan_r"][:, ts_:te],
+                                    F32(0.0))
+                    loc_w = [v - ts_ for v in PMS if ts_ <= v < te]
+                    if loc_w:
+                        stat_w = np.ones((1, te - ts_), np.float32)
+                        stat_w[0, loc_w] = 0.0
+                        wl2 = wl2 * stat_w
+                        wr2 = wr2 * stat_w
+                    mixw_t = (wl2, wr2)
+                (samples_t, contrib_t, (aa_t, il_t), nc_t,
+                 macc_t) = _voice_block_pass(
                     done, c_t, p_t, nblk, counts, table_buffer,
                     exact, use_pallas, ft, N=block, full=full,
-                    rk=f"_t{ti}", mega=mg)
+                    rk=f"_t{ti}", mega=mg, mixw=mixw_t)
                 if any_mod and ti + 1 < len(tiers):
                     done = samples_t if done is None else \
                         jnp.concatenate([done, samples_t], axis=1)
@@ -1235,7 +1301,7 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                     il_parts.append(il_t)
                 else:
                     mix_parts.append((samples_t, contrib_t, aa_t, il_t,
-                                      (ts_, te)))
+                                      (ts_, te), macc_t))
             new_carry = {kk: jnp.concatenate([nc[kk] for nc in nc_parts],
                                              axis=1) for kk in _CK}
             if need_full:
@@ -1265,27 +1331,42 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)
                          for kk, vv in carry.items()}
                 for _ in range(mod_passes - 1):
-                    s_src, _, _, _ = _voice_block_pass(
+                    s_src, _, _, _, _ = _voice_block_pass(
                         est[:, :n_src], c_src, p_src, nblk, counts,
                         table_buffer, exact, use_pallas, feat, N=block,
                         rk=rk, mega=mg)
                     est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
             else:
                 for _ in range(mod_passes - 1):
-                    samples, _, _, _ = _voice_block_pass(
+                    samples, _, _, _, _ = _voice_block_pass(
                         est, carry, p, nblk, counts, table_buffer, exact,
                         use_pallas, feat, N=block, rk=rk, mega=mg)
                     est = samples
-            samples, contrib, (any_alive, il), new_carry = _voice_block_pass(
+            mixw_1 = None
+            if mg and not capture and not feat.noise:
+                act2 = p["amp"] != 0.0
+                if feat.disc:
+                    act2 = act2 & (p["disconnect"] == 0)
+                wl2 = jnp.where(act2, carry["pan_l"], F32(0.0))
+                wr2 = jnp.where(act2, carry["pan_r"], F32(0.0))
+                if PMS:
+                    stat_w = np.ones((1, Vp), np.float32)
+                    stat_w[0, list(PMS)] = 0.0
+                    wl2 = wl2 * stat_w
+                    wr2 = wr2 * stat_w
+                mixw_1 = (wl2, wr2)
+            (samples, contrib, (any_alive, il), new_carry,
+             macc_1) = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
-                feat, N=block, rk=rk, mega=mg)
+                feat, N=block, rk=rk, mega=mg, mixw=mixw_1)
             if capture:
                 mix_l = mix_r = pan_upd = None
                 contrib = jnp.broadcast_to(contrib, samples.shape)
             else:
                 Vp_ = samples.shape[1]
                 mix_l, mix_r, pan_upd = _mix_parts(
-                    carry, p, [(samples, contrib, any_alive, il, (0, Vp_))])
+                    carry, p, [(samples, contrib, any_alive, il, (0, Vp_),
+                                macc_1)])
 
         if pan_upd is not None:
             lanes, new_pl, new_pr = pan_upd

@@ -1032,14 +1032,27 @@ def from_vm_vec(a: jnp.ndarray, b: int, v: int) -> jnp.ndarray:
 SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
 
 
-def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
+def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
     """The fused tier kernel body.  ``feat`` is a 14-tuple of static
     flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish,
     direction, cz_modes, ts_pow2); stages off for the tier vanish from the
     compiled loop, and the CZ warp computes only the mode curves in
     ``cz_modes``.
 
-    Three phases over one grid step of ``g_lanes`` lanes (8·128 vregs):
+    ``mix`` = (b_rows, fold_k) enables the in-kernel static-pan stereo
+    mix (phase 5): the step's lanes are folded into a persistent
+    [n, b_rows, 128] = [N, B] accumulator pair weighted by per-lane
+    wl/wr (the caller's pan·contrib weights, pan-mod lanes zeroed).
+    Voice-major lanes put batch row b of voice v at lane v·B+b, so acc
+    row (g % b_rows) of global sublane row g collects exactly batch
+    chunk g % b_rows — the cross-voice stereo sum (synth.c:630-641)
+    finishes in VMEM and the [B, V, N] sample materializations the XLA
+    mix needed never exist.  fold_k = sub//b_rows when a step spans
+    several voices (static-slice partial sums); 0 selects the dynamic
+    path (a voice spans several steps: acc rows [c0, c0+sub) at
+    c0 = p·sub mod b_rows).
+
+    Phases over one grid step of ``g_lanes`` lanes (8·128 vregs):
       1. serial phase walk (osc_next synth.c:217-258) → ph scratch,
          alive-prefix count per lane (dead is monotone within a block)
       2. vector CZ warp + index clip + dead masking → idx scratch
@@ -1111,6 +1124,8 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             sg_v = next(it)
         if hold:
             hc_v, hv_v = next(it), next(it)
+        if mix is not None:
+            wl_v, wr_v = next(it), next(it)
         out_ref = next(it)
         phend_ref = next(it)
         cnt_ref = next(it)
@@ -1122,6 +1137,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             sgo = next(it)
         if hold:
             hco, hvo = next(it), next(it)
+        if mix is not None:
+            lasto = next(it)
+            accl_ref, accr_ref = next(it), next(it)
         ph_s = next(it)                      # VMEM (n, sub, 128) f32
         idx_s = next(it)                     # VMEM (n, sub, 128) i32
         if MEGA_ALIAS:
@@ -1141,6 +1159,11 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
         @pl.when(p == 0)
         def _init():
             cur[0] = jnp.int32(-1)
+            if mix is not None:
+                # revisited output blocks stay VMEM-resident across the
+                # sequential grid; zero once, accumulate every step
+                accl_ref[...] = jnp.zeros(accl_ref.shape, F32)
+                accr_ref[...] = jnp.zeros(accr_ref.shape, F32)
 
         lo = lo_v[0]
         hi = hi_v[0]
@@ -1632,6 +1655,44 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
             x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n // unroll), fbodyu, finit)
 
+        # ---- phase 5: in-kernel static-pan stereo mix (see docstring) --
+        if mix is not None and "mix" not in MEGA_ABLATE:
+            b_rows, fold_k = mix
+            wl = wl_v[0]
+            wr = wr_v[0]
+            lasto[0] = out_ref[n - 1]
+
+            def mbody(q, _):
+                t0 = q * jnp.int32(TC)
+                o = out_ref[pl.ds(t0, TC)]           # (TC, sub, 128)
+                lc = o * wl[None]
+                rc = o * wr[None]
+                if fold_k:
+                    # step spans fold_k voices: fold their rows into the
+                    # b_rows batch chunks with static slices
+                    lf = lc[:, 0:b_rows, :]
+                    rf = rc[:, 0:b_rows, :]
+                    for f in range(1, fold_k):
+                        lf = lf + lc[:, f * b_rows:(f + 1) * b_rows, :]
+                        rf = rf + rc[:, f * b_rows:(f + 1) * b_rows, :]
+                    accl_ref[pl.ds(t0, TC)] = accl_ref[pl.ds(t0, TC)] + lf
+                    accr_ref[pl.ds(t0, TC)] = accr_ref[pl.ds(t0, TC)] + rf
+                else:
+                    # a voice spans >= 1 full steps: this step's rows land
+                    # at batch-chunk offset c0 (sub-aligned, so >= 8)
+                    c0 = jax.lax.rem(p * jnp.int32(sub),
+                                     jnp.int32(b_rows))
+                    accl_ref[pl.ds(t0, TC), pl.ds(c0, sub), :] = \
+                        accl_ref[pl.ds(t0, TC), pl.ds(c0, sub), :] + lc
+                    accr_ref[pl.ds(t0, TC), pl.ds(c0, sub), :] = \
+                        accr_ref[pl.ds(t0, TC), pl.ds(c0, sub), :] + rc
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), mbody,
+                              jnp.int32(0))
+        elif mix is not None:
+            lasto[0] = out_ref[n - 1]
+
         phend_ref[0] = ph_e
         cnt_ref[0] = cnt_e
         if finish:
@@ -1651,13 +1712,25 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes):
 
 
 @functools.lru_cache(maxsize=None)
-def _tier_kernel_for(feat, exact, unroll, n, g_lanes):
-    return _make_tier_kernel(feat, exact, unroll, n, g_lanes)
+def _tier_kernel_for(feat, exact, unroll, n, g_lanes, mix=None):
+    return _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix)
 
 
-@functools.partial(jax.jit, static_argnames=("feat", "exact", "n"))
+def mix_rows(m, n, n_seq, exact, b_rows):
+    """Static in-kernel-mix eligibility mirror (see _make_tier_kernel):
+    returns b_rows when the batch-chunk rows align with the step width
+    _mega_sub_pad will pick, else 0.  Callers use this to decide the
+    mix layout before tracing tier_pallas."""
+    sub, _ = _mega_sub_pad(m, n, n_seq, exact)
+    ok = (b_rows >= 8 and n % 8 == 0
+          and (sub % b_rows == 0 or b_rows % sub == 0))
+    return b_rows if ok else 0
+
+
+@functools.partial(jax.jit, static_argnames=("feat", "exact", "n",
+                                             "b_rows"))
 def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
-                feat=None, exact=False, n=None):
+                feat=None, exact=False, n=None, mixw=None, b_rows=0):
     """One fused tier pass (see _make_tier_kernel).
 
     tab2: [R, 128] f32 — the stacked table buffer as flat 128-sample
@@ -1683,6 +1756,9 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
     n_seq = 1 + (1 if fm else 0) + (1 if (cz and czm) else 0) \
         + (1 if am_a else 0)          # out + per-sample mod streams
     sub, m2 = _mega_sub_pad(m, n, n_seq, bool(exact))
+    mix = None
+    if mixw is not None and mix_rows(m, n, n_seq, bool(exact), b_rows):
+        mix = (b_rows, sub // b_rows if sub >= b_rows else 0)
     mr = m                            # real lanes; outputs sliced back
     if m2 > m:
         # pad the lane axis with inert lanes (act=adv=0) so wider grid
@@ -1701,6 +1777,8 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         amod = _pad(amod)
         vecs = {k: _pad(v, k) for k, v in vecs.items()}
         states = {k: _pad(v) for k, v in states.items()}
+        if mix is not None:
+            mixw = (_pad(mixw[0]), _pad(mixw[1]))  # inert lanes weigh 0
         m = m2
     r = m // 128
     g_lanes = sub * 128
@@ -1767,6 +1845,8 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         add_vec(states["smoother"])
     if hold:
         add_vec(states["hold_count"], states["hold_val"])
+    if mix is not None:
+        add_vec(mixw[0], mixw[1])
 
     sds = lambda nn, dt: jax.ShapeDtypeStruct((nn, r, 128), dt)
     out_specs = [seq, vec, vec]
@@ -1789,11 +1869,23 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         out_specs += [vec, vec]
         out_shape += [sds(1, I32), sds(1, F32)]
         names += ["hold_count", "hold_val"]
+    if mix is not None:
+        out_specs += [vec]
+        out_shape += [sds(1, F32)]
+        names += ["out_last"]
+        # every grid step revisits block 0: the stereo accumulators stay
+        # VMEM-resident for the whole call and flush once at the end
+        acc_spec = pl.BlockSpec((n, mix[0], 128),
+                                lambda i, s, c: (i * 0, i * 0, i * 0))
+        out_specs += [acc_spec, acc_spec]
+        out_shape += [jax.ShapeDtypeStruct((n, mix[0], 128), F32)] * 2
+        names += ["acc_l", "acc_r"]
 
     outs = pl.pallas_call(
         _tier_kernel_for(tuple(bool(x) for x in feat[:12])
                          + (tuple(cz_modes), bool(ts_pow2)), bool(exact),
-                         UNROLL if n % UNROLL == 0 else 1, n, g_lanes),
+                         UNROLL if n % UNROLL == 0 else 1, n, g_lanes,
+                         mix),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -1817,5 +1909,10 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
     )(slot, cbase, *ins)
     res = {}
     for name, o in zip(names, outs):
-        res[name] = unwrap(o) if name == "out" else unwrap(o)[0]
+        if name == "out":
+            res[name] = unwrap(o)
+        elif name in ("acc_l", "acc_r"):
+            res[name] = o.reshape(n, mix[0] * 128)     # [N, B]
+        else:
+            res[name] = unwrap(o)[0]
     return res.pop("out"), res

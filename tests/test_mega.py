@@ -362,3 +362,107 @@ def test_mega_corpus_scripts(script):
     lines = (REF / script).read_text().splitlines()
     d = _mega_vs_xla([lines], seconds=0.25, reps=1)
     assert d == 0.0, f"{script}: mega vs xla maxdiff {d}"
+
+
+def _mix_vecs_states(rng, m, flt=True):
+    full = lambda v, dt=np.float32: np.full(m, v, dt)
+    vecs = dict(
+        base_off=np.zeros(m, np.int32), clip_i=full(4095, np.int32),
+        adv=np.ones(m, np.int32), act=np.ones(m, np.int32),
+        lo=full(0.0), hi=full(4096.0), L=full(4096.0),
+        amp=rng.uniform(0.5, 1, m).astype(np.float32),
+    )
+    states = dict(phase=rng.uniform(0, 4096, m).astype(np.float32),
+                  finished=np.zeros(m, np.int32))
+    if flt:
+        vecs.update(b0=full(0.2), b1=full(0.3), b2=full(0.1),
+                    na1=full(-0.4), na2=full(0.05),
+                    use_flt=np.ones(m, np.int32),
+                    use_sm=np.ones(m, np.int32), smoothing=full(0.02))
+        states.update(x1=np.zeros(m, np.float32), x2=np.zeros(m, np.float32),
+                      y1=np.zeros(m, np.float32), y2=np.zeros(m, np.float32),
+                      smoother=np.zeros(m, np.float32))
+    return vecs, states
+
+
+@pytest.mark.parametrize("B,V,cap", [(1024, 3, 32),   # fold_k path
+                                     (2048, 2, 8)])   # dynamic-offset path
+def test_mega_inkernel_mix_matches_xla_sum(B, V, cap):
+    """The in-kernel static-pan mix (tier kernel phase 5) must reproduce
+    the XLA cross-voice weighted sum on both accumulator layouts (step
+    spans several voices / voice spans several steps), leave the sample
+    stream and end states bit-identical, and emit out_last == out[-1]
+    (reference mix loop: synth.c:630-641)."""
+    rng = np.random.default_rng(0)
+    n, m = 64, B * V
+    feat = (False, False, False, False, True, True, False, False,
+            False, False, False, False, (), False)
+    vecs, states = _mix_vecs_states(rng, m)
+    tab = rng.standard_normal((32768, 128)).astype(np.float32)
+    slot = np.zeros(m, np.int32)
+    cbase = np.zeros(1, np.int32)
+    inc = rng.uniform(1, 50, m).astype(np.float32)
+    wl = rng.uniform(0, 1, m).astype(np.float32)
+    wr = rng.uniform(0, 1, m).astype(np.float32)
+    ja = {k: jnp.asarray(v) for k, v in vecs.items()}
+    js = {k: jnp.asarray(v) for k, v in states.items()}
+    old_cap, old_int = kernels.MEGA_SUB_MAX, kernels.INTERPRET
+    kernels.INTERPRET = True
+    kernels.MEGA_SUB_MAX = cap
+    jax.clear_caches()
+    try:
+        args = (jnp.asarray(tab), jnp.asarray(slot), jnp.asarray(cbase),
+                jnp.asarray(inc), None, None, ja, js)
+        out0, res0 = kernels.tier_pallas(*args, feat=feat, exact=True, n=n)
+        out1, res1 = kernels.tier_pallas(
+            *args, feat=feat, exact=True, n=n,
+            mixw=(jnp.asarray(wl), jnp.asarray(wr)), b_rows=B // 128)
+    finally:
+        kernels.MEGA_SUB_MAX, kernels.INTERPRET = old_cap, old_int
+        jax.clear_caches()
+    assert "acc_l" in res1, "in-kernel mix did not engage"
+    assert np.array_equal(np.asarray(out0), np.asarray(out1))
+    o = np.asarray(out0).reshape(n, V, B)
+    for key, w in (("acc_l", wl), ("acc_r", wr)):
+        want = (o * w.reshape(V, B)[None]).sum(axis=1)
+        got = np.asarray(res1[key])
+        assert np.abs(got - want).max() < 1e-4, key
+    assert np.array_equal(np.asarray(res1["out_last"]), np.asarray(out0)[-1])
+    for k in res0:
+        assert np.array_equal(np.asarray(res0[k]), np.asarray(res1[k])), k
+
+
+def test_mega_inkernel_mix_end_to_end(monkeypatch):
+    """Full fused render with the in-kernel mix engaged (pan + pan-mod +
+    disconnect lanes) vs the pure-XLA path.  b_rows >= 8 needs 1024+ rows
+    on real hardware; interpret mode has no tile constraint, so the
+    eligibility floor is lowered to exercise the whole glue (weights,
+    pan-mod slab, accumulator transpose, out_last carry) at 128 rows.
+    ULP-level reassociation of the cross-voice sum is the documented
+    contract (_mix_parts docstring)."""
+    bank = WaveBank()
+    lines = ["v0 w2 f2 a2", "v1 w0 f330 a3 p-0.4",
+             "v2 w0 f220 a3 p0.3 P0 Q0.9", "v3 w5 f110 a2 x1"]
+    tls = [compile_script(lines, 0.08, bank=bank, script_dir=REF)
+           for _ in range(128)]
+    st = pack_stacked(stack_timelines(tls))
+    a = render_fused(st, use_pallas=False)
+    real = kernels.mix_rows
+
+    def lax_rows(m, n, n_seq, exact, b_rows):
+        sub, _ = kernels._mega_sub_pad(m, n, n_seq, exact)
+        ok = (b_rows >= 1 and n % 8 == 0
+              and (sub % b_rows == 0 or b_rows % sub == 0))
+        return b_rows if ok else 0
+
+    monkeypatch.setattr(kernels, "mix_rows", lax_rows)
+    monkeypatch.setattr(kernels, "INTERPRET", True)
+    jax.clear_caches()
+    try:
+        b = render_fused(st, use_pallas=True)
+    finally:
+        monkeypatch.setattr(kernels, "mix_rows", real)
+        monkeypatch.setattr(kernels, "INTERPRET", False)
+        jax.clear_caches()
+    d = float(np.abs(a - b).max())
+    assert d < 1e-5, f"in-kernel mix end-to-end maxdiff {d}"

@@ -88,12 +88,16 @@ def main():
         return wall
 
     def stub_tier(table3, slot, cbase, inc, dm, amod, vecs, states,
-                  feat=None, exact=False, n=None):
+                  feat=None, exact=False, n=None, mixw=None, b_rows=0):
         m = slot.shape[0]
         out = inc if feat[0] else jnp.broadcast_to(vecs["amp"][None, :],
                                                    (n, m))
         res = {"phase": states["phase"],
                "cnt": jnp.full((m,), n, jnp.int32)}
+        if mixw is not None and b_rows:
+            res["out_last"] = out[-1]
+            res["acc_l"] = jnp.zeros((n, b_rows * 128), jnp.float32)
+            res["acc_r"] = jnp.zeros((n, b_rows * 128), jnp.float32)
         if feat[10]:
             res["finished"] = states["finished"]
         if feat[4]:
