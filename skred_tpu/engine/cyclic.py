@@ -18,17 +18,21 @@ serially in VMEM, vectorized over BATCH ROWS (lanes = scripts):
     reference's rule.  A CZ SELF edge is delayed-by-construction
     (synth.c:263-264 reads voice_sample[dv] before the frame writes it),
     so self-feedback needs no special case;
-  * each voice's table lives in a VMEM window (k x 32768 samples, DMA'd
-    once per block); per-sample lookups gather per-lane columns with a
-    dynamic row sweep bounded by the step's actual row spread;
+  * each voice's table lives WHOLE in a VMEM window (win_rows_for: the
+    bucket's largest table, DMA'd once per block — a 60k-sample PCM
+    loop costs ~2 MiB of the 128 MiB chip); per-sample lookups gather
+    per-lane columns with a dynamic row sweep bounded by the step's
+    actual row spread;
   * arithmetic mirrors the compat scan engine site-for-site in exact
     mode: _kfma at the gcc-contracted sites, correctly-rounded divides
     (hoisted Markstein reciprocals for the CZ normalization), the
     envelope's closed form as in the tier megakernel.
 
 Eligibility (cyclic_gate): per-voice table bindings uniform across the
-batch (buckets are built per script identity), tables <= 32768 samples,
-no recorder taps.  Ineligible cyclic scripts keep the compat fallback.
+batch (buckets are built per script identity) and the per-voice windows
+within the VMEM budget (~96M samples across voices — far past any real
+asset).  Ineligible cyclic scripts keep the compat fallback, loudly
+(render_batch/bench warn per script).
 
 Reference: /root/reference/synth.c:526-612 (frame loop), :217-275
 (osc_next), :263-264 (CZ mod read, no self-guard).
@@ -67,14 +71,33 @@ CYC_ABLATE = frozenset(
 #   per-sample pan, "all" the entire voice body (plumbing + DMA only).
 
 
+WIN_BUDGET_BYTES = 48 * 1024 * 1024   # VMEM for the per-voice table
+#                                       windows (128 MiB chip, leaving
+#                                       room for the state registers and
+#                                       Mosaic temporaries)
+
+
+def win_rows_for(st) -> int:
+    """Static per-bucket table-window height (128-sample rows): the
+    largest bound table fits entirely in each voice's VMEM window (plus
+    one row of headroom for the sub-row table_off offset), rounded to a
+    DMA-friendly multiple of 8.  The reference's C loop indexes any
+    table size directly (synth.c:548-556); sizing the window to the
+    bucket removes the 32768-sample cliff round 4 shipped."""
+    ts = int(np.asarray(st.params["table_size"]).max(initial=0))
+    rows = -(-(ts + 128) // 128)
+    return max(-(-rows // 8) * 8, SLOT_ROWS)
+
+
 def cyclic_gate(st) -> Optional[str]:
     """None if the packed cyclic batch can take the Pallas kernel, else
     the reason it must stay on the compat scan engine."""
     p = st.params
-    ts = np.asarray(p["table_size"])
-    ti = np.asarray(p["table_index"])
-    if bool(((ts > 32768) & (ti != C.WAVE_TABLE_NOISE_ALT)).any()):
-        return "table > 32768 samples (window exceeds the VMEM slot)"
+    k = np.asarray(p["amp"]).shape[-1]
+    need = k * win_rows_for(st) * 128 * 4
+    if need > WIN_BUDGET_BYTES:
+        return (f"table windows need {need >> 20} MiB VMEM "
+                f"(budget {WIN_BUDGET_BYTES >> 20} MiB)")
     for name in ("table_off", "table_size"):
         a = np.asarray(p[name])
         if not bool((a == a[:1]).all()):
@@ -93,7 +116,7 @@ def _feat_key(feat: Feat, k: int):
             tuple(feat.cz_modes), k)
 
 
-def _make_cyclic_kernel(fkey, n, exact):
+def _make_cyclic_kernel(fkey, n, exact, win_rows=SLOT_ROWS):
     (fm, cz, czm, am, am_self_f, pm, pm_self_f, env_a, flt, sm, hold,
      quant, noise, finish, dirn, disc, cz_modes, k) = fkey
     fma = K._kfma if exact else (lambda a, b, c: a * b + c)
@@ -228,7 +251,7 @@ def _make_cyclic_kernel(fkey, n, exact):
                 # rejects on real hardware (interpret mode tolerates it)
                 r0 = jnp.int32(row0_sm[v])
                 cp = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(r0, SLOT_ROWS)], tab_ss[v], sem)
+                    tab_ref.at[pl.ds(r0, win_rows)], tab_ss[v], sem)
                 cp.start()
                 cp.wait()
 
@@ -514,12 +537,13 @@ def _make_cyclic_kernel(fkey, n, exact):
 
 
 @functools.lru_cache(maxsize=None)
-def _cyclic_kernel_for(fkey, n, exact):
-    return _make_cyclic_kernel(fkey, n, exact)
+def _cyclic_kernel_for(fkey, n, exact, win_rows):
+    return _make_cyclic_kernel(fkey, n, exact, win_rows)
 
 
 def cyclic_block_pallas(table2, row0s, dlocs, cbase, noise_blk, vecs,
-                        states, vf, feat, k, n, exact):
+                        states, vf, feat, k, n, exact,
+                        win_rows=SLOT_ROWS):
     """One block of the cyclic engine over all batch rows.
 
     table2: [R, 128] flat table buffer; row0s/dlocs: [k] i32 window
@@ -639,13 +663,13 @@ def cyclic_block_pallas(table2, row0s, dlocs, cbase, noise_blk, vecs,
         prefetch.append(jax.lax.bitcast_convert_type(noise_blk, I32))
 
     outs = pl.pallas_call(
-        _cyclic_kernel_for(fkey, n, bool(exact)),
+        _cyclic_kernel_for(fkey, n, bool(exact), int(win_rows)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((SLOT_ROWS, 128), F32)
+            scratch_shapes=[pltpu.VMEM((win_rows, 128), F32)
                             for _ in range(k)]
             + [pltpu.SemaphoreType.DMA],
         ),
@@ -683,14 +707,15 @@ def cyclic_block_pallas(table2, row0s, dlocs, cbase, noise_blk, vecs,
 
 def _cyclic_scan(carry0, params, ops, seg_of_block, seg_is_start,
                  table_buffer, noise, block0, num_blocks, block, feat,
-                 exact):
+                 exact, win_rows=SLOT_ROWS):
     B, _, k = params["amp"].shape
-    rtot = table_buffer.shape[0] // 128
     tb_pad = (-table_buffer.shape[0]) % 32768
+    if table_buffer.shape[0] + tb_pad < win_rows * 128:
+        tb_pad = win_rows * 128 - table_buffer.shape[0]
     if tb_pad:
         table_buffer = jnp.concatenate(
             [table_buffer, jnp.zeros((tb_pad,), table_buffer.dtype)])
-        rtot = table_buffer.shape[0] // 128
+    rtot = table_buffer.shape[0] // 128
     tb2 = table_buffer.reshape(rtot, 128)
 
     p_groups, p_stacked, p_rest = _pack_by_dtype(params, k)
@@ -801,7 +826,7 @@ def _cyclic_scan(carry0, params, ops, seg_of_block, seg_is_start,
         # table windows: bindings are row-uniform (cyclic_gate), so the
         # per-voice window base is a [k] scalar vector
         off0 = p["table_off"][0].astype(I32)
-        row0 = jnp.clip(off0 // 128, 0, rtot - SLOT_ROWS)
+        row0 = jnp.clip(off0 // 128, 0, rtot - win_rows)
         return v, row0, off0 - row0 * jnp.int32(128)
 
     if single_seg:
@@ -826,7 +851,7 @@ def _cyclic_scan(carry0, params, ops, seg_of_block, seg_is_start,
             if feat.noise else None
         out_l, out_r, ns = cyclic_block_pallas(
             tb2, row0, dloc, cbase, nblk, vecs, states,
-            p["volume_final"], feat, k, block, exact)
+            p["volume_final"], feat, k, block, exact, win_rows)
         new_carry = dict(carry)
         for kk, vv in ns.items():
             new_carry[kk] = vv.T if vv.ndim == 2 else vv
@@ -837,11 +862,11 @@ def _cyclic_scan(carry0, params, ops, seg_of_block, seg_is_start,
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "block",
-                                             "exact", "feat"),
+                                             "exact", "feat", "win_rows"),
                    donate_argnums=(0,))
 def _cyclic_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                       table_buffer, noise, block0, num_blocks, block,
-                      exact=True, feat=Feat()):
+                      exact=True, feat=Feat(), win_rows=SLOT_ROWS):
     """One streaming chunk of the cyclic engine (same contract as
     fused._fused_chunk_jit: full-render seg/noise arrays sliced on
     device at the traced offset; carry donated)."""
@@ -855,7 +880,7 @@ def _cyclic_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
             noise, block0 * block, num_blocks * block, axis=0)
     return _cyclic_scan(carry, params, ops, seg_of_block, seg_is_start,
                         table_buffer, noise, block0, num_blocks, block,
-                        feat, exact)
+                        feat, exact, win_rows)
 
 
 def _prep(st):
@@ -876,6 +901,7 @@ def render_cyclic_stream(st, chunk_blocks: int = 172, noise=None,
     """Generator yielding rendered chunks [rows, chunk*block, 2]."""
     st, params, ops = _prep(st)
     feat = compute_feat(st)
+    win_rows = win_rows_for(st)
     B = st.batch
     k = params["amp"].shape[-1]
     carry = make_carry0(B, k)
@@ -892,7 +918,8 @@ def render_cyclic_stream(st, chunk_blocks: int = 172, noise=None,
         nb = min(chunk_blocks, st.num_blocks - b0)
         carry, outs = _cyclic_chunk_jit(
             carry, params, ops, sob, sis, table, n_full, jnp.int32(b0),
-            num_blocks=nb, block=st.block, exact=exact, feat=feat)
+            num_blocks=nb, block=st.block, exact=exact, feat=feat,
+            win_rows=win_rows)
         r = B if keep_rows is None else min(keep_rows, B)
         yield np.asarray(outs[:, :r]).swapaxes(0, 1) \
             .reshape(r, nb * st.block, 2)
@@ -913,6 +940,7 @@ def render_cyclic_stream_device(st, chunk_blocks: int = 172,
     fused.render_fused_stream_device)."""
     st, params, ops = _prep(st)
     feat = compute_feat(st)
+    win_rows = win_rows_for(st)
     B = st.batch
     k = params["amp"].shape[-1]
     carry = make_carry0(B, k)
@@ -927,7 +955,7 @@ def render_cyclic_stream_device(st, chunk_blocks: int = 172,
         carry, outs = _cyclic_chunk_jit(
             carry, params, ops, sob, sis, table, n_full, jnp.int32(b0),
             num_blocks=chunk_blocks, block=st.block, exact=exact,
-            feat=feat)
+            feat=feat, win_rows=win_rows)
         if warmup_only:
             break
     if outs is None:

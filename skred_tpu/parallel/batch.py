@@ -228,6 +228,42 @@ def render_batch(scripts: List[pathlib.Path], seconds: float,
             for j, i in enumerate(idxs):
                 out[i] = o[j]
         if compat_idx:
+            # cyclic modulation graphs: per-frame serial Pallas engine
+            # (engine/cyclic.py) when the script is eligible — one
+            # replicated bucket per script identity keeps the per-voice
+            # table windows row-uniform.  Only gate-refused scripts fall
+            # back to the compat scan, and LOUDLY: on an accelerator the
+            # scan runs ~3 orders of magnitude slower than the kernels
+            # (reference has no such cliff — synth.c:548-556).
+            import sys as _sys
+
+            from skred_tpu.engine import kernels as _K
+            from skred_tpu.engine.cyclic import (ROWS_QUANTUM, cyclic_gate,
+                                                 render_cyclic)
+
+            # the Pallas engine needs a real TPU (or interpreter mode,
+            # for tests); on CPU the compat scan IS the right engine
+            use_cyc = jax.default_backend() == "tpu" or _K.INTERPRET
+            scan_idx = []
+            for i in compat_idx if use_cyc else []:
+                stc = pack_stacked(stack_timelines([tls[i]] * ROWS_QUANTUM),
+                                   cyclic=True)
+                reason = cyclic_gate(stc)
+                if reason is not None:
+                    print(f"# WARNING: cyclic Pallas engine refused "
+                          f"script #{i} ({reason}); falling back to the "
+                          f"compat scan engine (orders of magnitude "
+                          f"slower on accelerators)",
+                          file=_sys.stderr, flush=True)
+                    scan_idx.append(i)
+                    continue
+                o = render_cyclic(stc)
+                if out is None:
+                    out = np.zeros((len(tls), o.shape[1], 2), np.float32)
+                out[i] = o[0]
+            if use_cyc:
+                compat_idx = scan_idx
+        if compat_idx:
             rows = [tls[i] for i in compat_idx]
             pad_b = (-len(rows)) % max(ndev, 1)
             st = stack_timelines(rows + [rows[-1]] * pad_b)
@@ -521,10 +557,21 @@ def pack_stacked(st: StackedTimelines, pack: bool = True,
 
 def bucket_key(tl) -> tuple:
     """Specialization bucket for a fused-capable timeline: (packed voice
-    count, fixed-point passes, static feature set).  Scripts sharing a
-    key render in one specialized compiled program; bench.py,
-    tools/tpu_parity.py --bucketed and render_batch all group by this so
-    validation runs the exact programs the bench times.
+    count, fixed-point passes, noise marker).  Scripts sharing a key
+    render in one compiled program; bench.py, tools/tpu_parity.py
+    --bucketed and render_batch all group by this so validation runs the
+    exact programs the bench times.
+
+    Feature flags are NOT part of the key: per-bucket specialization
+    still happens (compute_feat derives the static stage set from the
+    stacked batch), but scripts of the same shape class share one
+    program with the union feature set.  A compiled-in stage a script
+    doesn't use costs a few percent on that script's lanes; one fewer
+    program launch + compile saves far more — the corpus bench was
+    launch-bound, with 20+ buckets under 10% of either roofline
+    (VERDICT r4 item 5).  Noise-alt voices stay a separate bucket: a
+    noise lane gates its whole tier off the megakernel, which would
+    de-specialize every script merged with it.
 
     The single-row pack is memoized on the timeline object (the pack is
     O(segments·voices) Python work; large corpora call this per script
@@ -535,7 +582,8 @@ def bucket_key(tl) -> tuple:
     from skred_tpu.engine.fused import compute_feat
 
     st1 = pack_stacked(stack_timelines([tl]))
-    key = (st1.params["amp"].shape[-1], tl.fused_passes, compute_feat(st1))
+    key = (st1.params["amp"].shape[-1], tl.fused_passes,
+           "noise" if compute_feat(st1).noise else "")
     tl._bucket_key = key
     return key
 

@@ -90,14 +90,62 @@ def test_cyclic_stream_state_carry(bank):
     assert np.array_equal(full[:2, :n], chunks[:, :n])
 
 
-def test_cyclic_gate_big_table(bank):
-    """Eligibility: a >32768-sample table keeps the compat fallback
-    (the VMEM window cannot hold it) instead of rendering wrongly."""
-    from skred_tpu.engine.cyclic import cyclic_gate
+def test_cyclic_big_table_bit_exact(bank):
+    """fb5: feedback FM over a >32768-sample PCM table — the
+    whole-table VMEM window (win_rows_for) renders it bit-exactly.
+    Round 4's engine refused this class to the ~4x compat fallback;
+    the reference C loop has no size cliff (synth.c:548-556)."""
+    from skred_tpu.engine.cyclic import cyclic_gate, win_rows_for
+    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+
+    tl = _tl("fb5.sk", 0.2, bank)
+    assert tl.fused_passes is None
+    st = pack_stacked(stack_timelines([tl] * 2), cyclic=True)
+    assert cyclic_gate(st) is None, cyclic_gate(st)
+    assert win_rows_for(st) > 256            # really beyond one slot
+    _cyclic_vs_compat(tl)
+
+
+def test_cyclic_gate_reasons(bank):
+    """Every remaining eligibility refusal returns a reason string:
+    VMEM window budget (synthetic giant table) and non-row-uniform
+    table bindings (two different scripts in one cyclic stack)."""
+    from skred_tpu.engine.cyclic import WIN_BUDGET_BYTES, cyclic_gate
     from skred_tpu.parallel.batch import pack_stacked, stack_timelines
 
     tl = _tl("fb1.sk", 0.1, bank)
     st = pack_stacked(stack_timelines([tl] * 2), cyclic=True)
     assert cyclic_gate(st) is None
-    st.params["table_size"] = st.params["table_size"] + 40000
-    assert "32768" in (cyclic_gate(st) or "")
+    st.params["table_size"] = (st.params["table_size"] * 0
+                               + np.int32(WIN_BUDGET_BYTES))
+    assert "VMEM" in (cyclic_gate(st) or "")
+
+    lines2 = ["v0 w33 f110 a100 F1,0.8 J200 K4000 Q30",
+              "v1 w2 f55 a80 F0,0.5 r1",
+              "v2 w0 f220 a40 F2,1"]
+    tl2 = _tl(lines2, 0.1, bank)
+    st2 = pack_stacked(stack_timelines([tl, tl2]), cyclic=True)
+    assert "differ across rows" in (cyclic_gate(st2) or "")
+
+
+def test_render_batch_cyclic_routing(bank, tmp_path, monkeypatch, capsys):
+    """render_batch routes eligible cyclic scripts through the Pallas
+    engine; a gate refusal falls back to the compat scan WITH a loud
+    per-script warning (the 1000x->4x cliff must not be silent), and
+    both paths produce the bit-exact render."""
+    import skred_tpu.engine.cyclic as cyc
+    from skred_tpu.engine import render_timeline
+    from skred_tpu.parallel.batch import render_batch
+
+    p = tmp_path / "fb1.sk"
+    p.write_text((CORPUS / "fb1.sk").read_text())
+    ref = np.asarray(render_timeline(_tl("fb1.sk", 0.1, bank)))
+
+    out = render_batch([p], 0.1)
+    assert np.array_equal(out[0, :ref.shape[0]], ref)
+
+    monkeypatch.setattr(cyc, "cyclic_gate", lambda st: "forced-refusal")
+    out2 = render_batch([p], 0.1)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "forced-refusal" in err
+    assert np.array_equal(out2[0, :ref.shape[0]], ref)
