@@ -336,7 +336,8 @@ def _read_blocks_multi(est, prev_last, pairs):
 
 def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                       exact=False, use_pallas=False, feat=Feat(), N=None,
-                      full=None, rk="", mega=False, mixw=None):
+                      full=None, rk="", mega=False, mixw=None,
+                      fold_bank=None):
     """One block-level pass: compute a set of voices' full blocks.
 
     est: [B, V_src, N] modulator sample estimates (may be None when no
@@ -423,7 +424,7 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
                           adv_v, lo, hi, L, os_noloop, tsize_f,
                           use_fm=use_fm if feat.fm else None,
                           mis=(mod_inc * p["freq_scale"]) if feat.fm
-                          else None, mixw=mixw)
+                          else None, mixw=mixw, fold_bank=fold_bank)
 
     B_ = B
     if use_pallas:
@@ -777,13 +778,13 @@ def _voice_block_pass(est, carry, p, noise_blk, counts, table_buffer,
         x1=new_x1, x2=new_x2, y1=new_y1, y2=new_y2,
         smoother=new_smoother, pan_l=carry["pan_l"], pan_r=carry["pan_r"],
     )
-    return samples, contrib, (any_alive, il_out), new_carry, None
+    return samples, contrib, (any_alive, il_out), new_carry, None, None
 
 
 def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
                inc_row, reads, active0, fin_prev, adv_v,
                lo, hi, L, os_noloop, tsize_f, use_fm=None, mis=None,
-               mixw=None):
+               mixw=None, fold_bank=None):
     """Single-pallas-call tier pass (kernels.tier_pallas): the whole
     per-voice DSP chain — phase walk, CZ warp, table lookup, envelope,
     S&H/quant/biquad/smoother — in one VMEM-resident kernel.  Replaces
@@ -849,28 +850,37 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
         states["hold_val"] = f32v(carry["hold_val"])
 
     # raw modulator-read streams: inc/dm/amod arithmetic happens
-    # in-kernel (bit-equal fma/mult order), not as [B,V,N] XLA glue
+    # in-kernel (bit-equal fma/mult order), not as [B,V,N] XLA glue.
+    # Folded streams (fold_bank) skip even the [N, M] stream arrays:
+    # the kernel slices the producer tiers' voice-major bank directly.
+    bank, srows = fold_bank if fold_bank is not None else (None, {})
     if feat.fm:
-        inc_in = K.to_vm_seq(reads["fm"])
+        inc_in = None if "fm" in srows else K.to_vm_seq(reads["fm"])
         vecs.update(use_fm=i32v(use_fm), mis=f32v(mis),
                     pinc=f32v(p["phase_inc"]),
                     fm_depth=f32v(p["freq_mod_depth"]))
+        if "fm" in srows:
+            vecs["fm_del"] = i32v(p["fm_delayed"])
         if feat.direction:
             vecs["dirneg"] = i32v(p["direction"] != 0)
     else:
         inc_in = f32v(inc_row)
     if feat.cz and feat.czm:
-        dm_in = K.to_vm_seq(reads["cz"])
+        dm_in = None if "cz" in srows else K.to_vm_seq(reads["cz"])
         vecs.update(cm_ge0=i32v(p["cz_mod_osc"] >= 0),
                     cz_depth=f32v(p["cz_mod_depth"]))
+        if "cz" in srows:
+            vecs["cz_del"] = i32v(p["cm_delayed"])
     elif feat.cz:
         dm_in = f32v(jnp.where(p["cz_mod_osc"] >= 0, F32(0.0), F32(1.0)))
     else:
         dm_in = None
     if feat.am:
-        amod_in = K.to_vm_seq(reads["am"])
+        amod_in = None if "am" in srows else K.to_vm_seq(reads["am"])
         vecs.update(am_ge0=i32v(p["amp_mod_osc"] >= 0),
                     am_depth_a=f32v(p["amp_mod_depth"]))
+        if "am" in srows:
+            vecs["am_del"] = i32v(p["am_delayed"])
     else:
         amod_in = None
     cbase = counts[:1] if feat.env else jnp.zeros((1,), I32)
@@ -883,18 +893,25 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
     # kernel and the cross-voice sum finishes in VMEM ([N, B] acc pair);
     # eligible when the batch-chunk rows align with the step width
     b_rows = B // 128 if B % 128 == 0 else 0
-    n_seq_k = 1 + (1 if feat.fm else 0) \
-        + (1 if (feat.cz and feat.czm) else 0) + (1 if feat.am else 0)
+    n_seq_k = 1 + (1 if (feat.fm and "fm" not in srows) else 0) \
+        + (1 if (feat.cz and feat.czm and "cz" not in srows) else 0) \
+        + (1 if (feat.am and "am" not in srows) else 0)
+    bank_extra = bank.size * 4 if bank is not None else 0
     mix_on = (mixw is not None and b_rows > 0
-              and K.mix_rows(V_ * B, N, n_seq_k, bool(exact), b_rows))
+              and K.mix_rows(V_ * B, N, n_seq_k, bool(exact), b_rows,
+                             bank_extra))
     kmixw = (f32v(mixw[0]), f32v(mixw[1])) if mix_on else None
     out, res = K.tier_pallas(tab2, slot, cbase, inc_in, dm_in, amod_in,
                              vecs, states, feat=mfeat, exact=exact, n=N,
-                             mixw=kmixw, b_rows=b_rows if mix_on else 0)
+                             mixw=kmixw, b_rows=b_rows if mix_on else 0,
+                             bank=bank, srow_fm=srows.get("fm"),
+                             srow_cz=srows.get("cz"),
+                             srow_am=srows.get("am"))
     # macc carries the raw [N, M] voice-major stream too: pan-mod / mod-
     # source lanes slice it per voice ([N, B] columns), so the full
     # [B, V, N] transpose of ``samples`` stays dead unless est/capture
-    # consumers need it
+    # consumers need it; ``out`` is also returned raw for downstream
+    # modulator banks (the fold path)
     mix_acc = (res.pop("acc_l"), res.pop("acc_r"), out) \
         if "acc_l" in res else None
     fvv = lambda a: K.from_vm_vec(a, B, V_)
@@ -924,7 +941,7 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
         contrib = ((p["disconnect"] == 0) & active0)[..., None]
     else:
         contrib = active0[..., None]
-    return samples, contrib, (any_alive, il), new_carry, mix_acc
+    return samples, contrib, (any_alive, il), new_carry, mix_acc, out
 
 
 def _apply_ops_b(carry, ops, flag, feat=Feat()):
@@ -967,17 +984,17 @@ def make_carry0(B, Vp):
                                              "mod_passes", "capture", "exact",
                                              "use_pallas", "n_src", "feat",
                                              "tiers", "feat_tiers",
-                                             "mega_tiers"))
+                                             "mega_tiers", "fold_tiers"))
 def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                num_blocks, block, mod_passes, capture, exact=False,
                use_pallas=False, n_src=0, feat=Feat(), tiers=None,
-               feat_tiers=None, mega_tiers=None):
+               feat_tiers=None, mega_tiers=None, fold_tiers=None):
     B, _, Vp = params["amp"].shape
     carry0 = make_carry0(B, Vp)
     _, outs = _fused_scan(carry0, params, ops, seg_of_block, seg_is_start,
                           table_buffer, noise, 0, num_blocks, block,
                           mod_passes, capture, exact, use_pallas, n_src, feat,
-                          tiers, feat_tiers, mega_tiers)
+                          tiers, feat_tiers, mega_tiers, fold_tiers)
     return outs
 
 
@@ -985,13 +1002,13 @@ def _fused_jit(params, ops, seg_of_block, seg_is_start, table_buffer, noise,
                                              "mod_passes", "exact",
                                              "use_pallas", "n_src", "feat",
                                              "tiers", "feat_tiers",
-                                             "mega_tiers"),
+                                             "mega_tiers", "fold_tiers"),
                    donate_argnums=(0,))
 def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
                      table_buffer, noise, block0, num_blocks, block,
                      mod_passes, exact=False, use_pallas=False, n_src=0,
                      feat=Feat(), tiers=None, feat_tiers=None,
-                     mega_tiers=None):
+                     mega_tiers=None, fold_tiers=None):
     """One streaming chunk: render `num_blocks` blocks starting at global
     block index `block0` (traced), carrying state in/out (donated: the
     chunk loop never reuses the previous carry).
@@ -1018,7 +1035,7 @@ def _fused_chunk_jit(carry, params, ops, seg_of_block, seg_is_start,
     return _fused_scan(carry, params, ops, seg_of_block, seg_is_start,
                        table_buffer, noise, block0, num_blocks, block,
                        mod_passes, False, exact, use_pallas, n_src, feat,
-                       tiers, feat_tiers, mega_tiers)
+                       tiers, feat_tiers, mega_tiers, fold_tiers)
 
 
 def _pack_by_dtype(arrs: dict, Vp: int):
@@ -1042,7 +1059,7 @@ def _pack_by_dtype(arrs: dict, Vp: int):
 def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 noise, block0, num_blocks, block, mod_passes, capture, exact,
                 use_pallas, n_src=0, feat=Feat(), tiers=None,
-                feat_tiers=None, mega_tiers=None):
+                feat_tiers=None, mega_tiers=None, fold_tiers=None):
     B, _, Vp = params["amp"].shape
     if use_pallas and mega_tiers and any(mega_tiers):
         # the megakernel views the buffer as 32768-sample slots
@@ -1253,6 +1270,10 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
             nc_parts, mix_parts = [], []
             mix_l = mix_r = pan_upd = None
             done = None
+            done_vm = []                # raw [N, M_t] outs (fold banks)
+            ftl = fold_tiers if (fold_tiers is not None
+                                 and not capture) else None
+            from skred_tpu.engine import kernels as KK
             for ti, (ts_, te) in enumerate(zip(bounds[:-1], bounds[1:])):
                 p_t = {kk: (vv[:, ts_:te]
                             if not kk.startswith(("med_map", "big_map"))
@@ -1283,14 +1304,55 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                         wl2 = wl2 * stat_w
                         wr2 = wr2 * stat_w
                     mixw_t = (wl2, wr2)
+                fold_arg = None
+                est_arg = done
+                if ftl is not None and ftl[ti] and mg:
+                    # modulator-bank fold: reads resolve in-kernel from
+                    # the earlier tiers' raw voice-major outputs (row 0
+                    # = previous block's last samples, the delayed-read
+                    # value)
+                    prev_vm = KK.to_vm_vec(carry["sample"][:, :ts_])
+                    cat = done_vm[0] if len(done_vm) == 1 \
+                        else jnp.concatenate(done_vm, axis=1)
+                    bank = jnp.concatenate([prev_vm[None, :], cat],
+                                           axis=0)       # [N+1, M_ear]
+                    brows_ = B // 128
+                    spv = B // 1024
+                    vloc = np.repeat(np.arange(te - ts_), spv)
+                    cw8 = np.tile(np.arange(spv) * 8, te - ts_)
+                    cap_row = np.int32(ts_ * brows_ - 8)
+
+                    def srow_of(name, p_t=p_t):
+                        osc_row = jnp.maximum(p_t[name][0],
+                                              0).astype(jnp.int32)
+                        return jnp.minimum(
+                            osc_row[vloc] * jnp.int32(brows_)
+                            + jnp.asarray(cw8, jnp.int32), cap_row)
+
+                    srows = {}
+                    if ft.fm:
+                        srows["fm"] = srow_of("freq_mod_osc")
+                    if ft.cz and ft.czm:
+                        srows["cz"] = srow_of("cz_mod_osc")
+                    if ft.am:
+                        srows["am"] = srow_of("amp_mod_osc")
+                    fold_arg = (bank, srows)
+                    est_arg = None          # no glue-side reads at all
                 (samples_t, contrib_t, (aa_t, il_t), nc_t,
-                 macc_t) = _voice_block_pass(
-                    done, c_t, p_t, nblk, counts, table_buffer,
+                 macc_t, out_vm_t) = _voice_block_pass(
+                    est_arg, c_t, p_t, nblk, counts, table_buffer,
                     exact, use_pallas, ft, N=block, full=full,
-                    rk=f"_t{ti}", mega=mg, mixw=mixw_t)
-                if any_mod and ti + 1 < len(tiers):
+                    rk=f"_t{ti}", mega=mg, mixw=mixw_t,
+                    fold_bank=fold_arg)
+                later = range(ti + 1, len(tiers))
+                if any_mod and ti + 1 < len(tiers) and any(
+                        not (ftl[tj] if ftl is not None else False)
+                        for tj in later):
                     done = samples_t if done is None else \
                         jnp.concatenate([done, samples_t], axis=1)
+                if ftl is not None and any(ftl[tj] for tj in later):
+                    done_vm.append(out_vm_t if out_vm_t is not None
+                                   else KK.to_vm_seq(samples_t))
                 nc_parts.append(nc_t)
                 if need_full:
                     s_parts.append(samples_t)
@@ -1331,14 +1393,14 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                 c_src = {kk: (vv[:, :n_src] if vv.ndim == 2 else vv)
                          for kk, vv in carry.items()}
                 for _ in range(mod_passes - 1):
-                    s_src, _, _, _, _ = _voice_block_pass(
+                    s_src, _, _, _, _, _ = _voice_block_pass(
                         est[:, :n_src], c_src, p_src, nblk, counts,
                         table_buffer, exact, use_pallas, feat, N=block,
                         rk=rk, mega=mg)
                     est = jnp.concatenate([s_src, est[:, n_src:]], axis=1)
             else:
                 for _ in range(mod_passes - 1):
-                    samples, _, _, _, _ = _voice_block_pass(
+                    samples, _, _, _, _, _ = _voice_block_pass(
                         est, carry, p, nblk, counts, table_buffer, exact,
                         use_pallas, feat, N=block, rk=rk, mega=mg)
                     est = samples
@@ -1356,7 +1418,7 @@ def _fused_scan(carry0, params, ops, seg_of_block, seg_is_start, table_buffer,
                     wr2 = wr2 * stat_w
                 mixw_1 = (wl2, wr2)
             (samples, contrib, (any_alive, il), new_carry,
-             macc_1) = _voice_block_pass(
+             macc_1, _ovm) = _voice_block_pass(
                 est, carry, p, nblk, counts, table_buffer, exact, use_pallas,
                 feat, N=block, rk=rk, mega=mg, mixw=mixw_1)
             if capture:
@@ -1436,6 +1498,59 @@ def _feat_tiers(st):
                  for i in range(len(st.tiers)))
 
 
+def _fold_tiers(st, fts, use_pallas):
+    """Static per-tier modulator-bank fold eligibility (see
+    kernels._make_tier_kernel ``fold``): a tier's cross-tier modulator
+    reads move in-kernel when (a) the read topology (osc index + delay
+    flag) is uniform across batch rows — replicated/padded production
+    batches and every bench bucket qualify; per-segment values may
+    still vary, since the bank-row maps re-prefetch every block —
+    (b) the earlier tiers' output bank fits VMEM alongside the step
+    planes, (c) 8-row sub-blocks never straddle voices (B % 1024 == 0),
+    (d) the am stream carries no self-read (phase 4 resolves that
+    serially).  What this deletes per block: the one-hot read einsums,
+    the [N, M] read-stream transposes and their HBM round-trips — the
+    bulk of the heavy buckets' measured skeleton floor (mega_ablate
+    round 5: 8.5 s of stress64's 19.0 s wall).  Reference semantics
+    folded: synth.c:548-586 serial-order modulator reads."""
+    from skred_tpu.engine import kernels as K
+
+    if (not use_pallas or not st.tiers or len(st.tiers) <= 1
+            or fts is None or K.MEGA_ALIAS or not K.MEGA):
+        return None
+    B = st.batch
+    if B % 1024:
+        return None
+    p = st.params
+    bounds = np.cumsum((0,) + tuple(st.tiers))
+    out = [False]
+    for ti in range(1, len(st.tiers)):
+        ft = fts[ti]
+        lo, hi = int(bounds[ti]), int(bounds[ti + 1])
+        streams = []
+        if ft.fm:
+            streams.append(("freq_mod_osc", "fm_delayed"))
+        if ft.cz and ft.czm:
+            streams.append(("cz_mod_osc", "cm_delayed"))
+        if ft.am:
+            streams.append(("amp_mod_osc", "am_delayed"))
+        ok = bool(streams) and not ft.noise \
+            and not (ft.am and ft.am_self)
+        if ok:
+            for name, dname in streams:
+                for nm in (name, dname):
+                    a = np.asarray(p[nm])[:, :, lo:hi]
+                    if not bool((a == a[:1]).all()):
+                        ok = False
+                        break
+                if not ok:
+                    break
+        if ok and (st.block + 1) * lo * B * 4 > 48 * 1024 * 1024:
+            ok = False
+        out.append(bool(ok))
+    return tuple(out) if any(out) else None
+
+
 def _mega_tiers(st):
     """Static per-tier megakernel eligibility (None = megakernel off).
 
@@ -1501,6 +1616,7 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
     feat = compute_feat(st)
     fts = _feat_tiers(st)
     mts = _mega_tiers(st) if use_pallas else None
+    ftl = _fold_tiers(st, fts, use_pallas)
     carry = make_carry0(B, Vp)
     # one-time uploads: seg maps + the whole noise stream live on device
     # for the full render; each chunk slices its window in-program
@@ -1519,7 +1635,8 @@ def render_fused_stream(st, chunk_blocks: int = 256, noise=None,
             table, n_full, jnp.int32(b0),
             num_blocks=nb, block=st.block, mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
-            tiers=st.tiers, feat_tiers=fts, mega_tiers=mts)
+            tiers=st.tiers, feat_tiers=fts, mega_tiers=mts,
+            fold_tiers=ftl)
         r = B if keep_rows is None else min(keep_rows, B)
         yield np.asarray(outs[:, :r]).swapaxes(0, 1) \
             .reshape(r, nb * st.block, 2)
@@ -1563,6 +1680,7 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
     feat = compute_feat(st)
     fts = _feat_tiers(st)
     mts = _mega_tiers(st) if use_pallas else None
+    ftl = _fold_tiers(st, fts, use_pallas)
     B = st.batch
     carry = make_carry0(B, Vp)
     outs = None
@@ -1582,7 +1700,8 @@ def render_fused_stream_device(st, chunk_blocks: int = 173,
             num_blocks=chunk_blocks, block=st.block,
             mod_passes=st.fused_passes,
             exact=exact, use_pallas=use_pallas, n_src=st.n_src, feat=feat,
-            tiers=st.tiers, feat_tiers=fts, mega_tiers=mts)
+            tiers=st.tiers, feat_tiers=fts, mega_tiers=mts,
+            fold_tiers=ftl)
         if warmup_only:
             break
     if outs is None:
@@ -1625,6 +1744,7 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                 batch=st.batch + pad_b)
     params = {k: jnp_.asarray(v) for k, v in params.items()}
     ops = {k: jnp_.asarray(v) for k, v in st.ops.items()}
+    fts = _feat_tiers(st)
     return _fused_jit(params, ops, jnp_.asarray(st.seg_of_block),
                       jnp_.asarray(st.seg_is_start),
                       jnp_.asarray(st.table_buffer), jnp_.asarray(noise),
@@ -1632,8 +1752,9 @@ def render_fused_device(st, noise=None, exact: Optional[bool] = None,
                       mod_passes=st.fused_passes, capture=False, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
                       feat=compute_feat(st), tiers=st.tiers,
-                      feat_tiers=_feat_tiers(st),
-                      mega_tiers=_mega_tiers(st) if use_pallas else None)
+                      feat_tiers=fts,
+                      mega_tiers=_mega_tiers(st) if use_pallas else None,
+                      fold_tiers=_fold_tiers(st, fts, use_pallas))
 
 
 def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
@@ -1687,14 +1808,16 @@ def render_fused(st, noise: Optional[np.ndarray] = None, mesh=None,
         exact = True   # gcc-fma parity everywhere (f32 software fma on TPU)
     params = {k: put_b(v) for k, v in params.items()}
     ops = {k: put_b(v) for k, v in st.ops.items()}
+    fts = _feat_tiers(st)
     outs = _fused_jit(params, ops, put_b(st.seg_of_block),
                       put_b(st.seg_is_start), put_r(st.table_buffer),
                       put_r(noise), num_blocks=st.num_blocks, block=st.block,
                       mod_passes=st.fused_passes, capture=capture, exact=exact,
                       use_pallas=use_pallas, n_src=st.n_src,
                       feat=compute_feat(st), tiers=st.tiers,
-                      feat_tiers=_feat_tiers(st),
-                      mega_tiers=_mega_tiers(st) if use_pallas else None)
+                      feat_tiers=fts,
+                      mega_tiers=_mega_tiers(st) if use_pallas else None,
+                      fold_tiers=_fold_tiers(st, fts, use_pallas))
     if capture:
         out, cap = outs
         return (np.asarray(out).swapaxes(0, 1).reshape(st.batch, total, 2)[:batch],

@@ -199,8 +199,21 @@ MEGA_LOOKUP_TL = int(os.environ.get("SKRED_LOOKUP_TL", "64"))
 #                          serial bodies are short enough to stay
 #                          latency-bound at 8 vregs (see _mega_sub_pad)
 
-MEGA_VMEM_BUDGET = 108 * 1024 * 1024  # leave headroom under the 128 MiB
+MEGA_VMEM_BUDGET = int(os.environ.get("SKRED_MEGA_VMEM",
+                                      str(108 * 1024 * 1024)))
+#                                       leave headroom under the 128 MiB
 #                                       v5e VMEM for Mosaic temporaries
+
+MEGA_STAGE = int(os.environ.get("SKRED_MEGA_STAGE", "0"))
+#                          software-pipeline stage length (samples): the
+#                          serial walk of stage s and the serial filter
+#                          of stage s-1 share one fori.  0 = sequential
+#                          phases (default: measured NEUTRAL on chip —
+#                          stress64 15.9 s sequential vs 16.1-16.4 s at
+#                          TSG=128; the exact-mode filter chain is near
+#                          issue-bound at 32 rows, so the walk's ops
+#                          don't hide in its latency — kept as a probe
+#                          knob for future shapes)
 
 MEGA_ABLATE = frozenset(
     x for x in os.environ.get("SKRED_MEGA_ABLATE", "").split(",") if x)
@@ -212,7 +225,7 @@ MEGA_ABLATE = frozenset(
 #   time inside the fused kernel.
 
 
-def _mega_sub_pad(m, n, n_seq, exact=True):
+def _mega_sub_pad(m, n, n_seq, exact=True, extra=0):
     """Step width AND padded lane count (w, m2): the widest width whose
     VMEM footprint fits, padding the lane axis up to the next w*128
     multiple when the dead-lane overhead stays under 1/3.  Sequential
@@ -228,15 +241,15 @@ def _mega_sub_pad(m, n, n_seq, exact=True):
     at sub=32 vs 0.194 at sub=64, while fs-fast improves 0.100→0.063)."""
     cap = MEGA_SUB_MAX if exact else MEGA_SUB_MAX_FAST
     best = (8, -(-m // LANE_QUANTUM) * LANE_QUANTUM)
-    w = 16
     scr = 2 if MEGA_ALIAS else 3
-    while w <= cap:
+    for w in (16, 32, 48, 64, 96, 128):
+        if w > cap:
+            break
         m2 = -(-m // (w * 128)) * (w * 128)
         plane = n * w * 128 * 4
-        if ((scr + 2 * n_seq) * plane <= MEGA_VMEM_BUDGET
+        if ((scr + 2 * n_seq) * plane + extra <= MEGA_VMEM_BUDGET
                 and (m2 - m) * 3 <= m):
             best = (w, m2)
-        w *= 2
     return best
 
 
@@ -1032,12 +1045,28 @@ def from_vm_vec(a: jnp.ndarray, b: int, v: int) -> jnp.ndarray:
 SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
 
 
-def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
+def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
+                      fold=None):
     """The fused tier kernel body.  ``feat`` is a 14-tuple of static
     flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish,
     direction, cz_modes, ts_pow2); stages off for the tier vanish from the
     compiled loop, and the CZ warp computes only the mode curves in
     ``cz_modes``.
+
+    ``fold`` = (bank_rows, fold_fm, fold_cz, fold_am) enables the
+    MODULATOR-BANK FOLD: instead of XLA glue materializing each
+    modulator-read stream as a [N, M] HBM array (one-hot einsum +
+    layout transpose per stream per block — the measured majority of
+    the heavy buckets' skeleton floor), the producer tiers' raw
+    voice-major output rides in as ONE [N+1, bank_rows, 128] HBM array
+    (row 0 = previous block's last samples), DMA'd once per block into
+    a VMEM-resident bank.  Each folded stream is then assembled
+    in-kernel per 8-row sub-block: the reader voice's modulator columns
+    are a contiguous row window of the bank (lane v·B+b layout), whose
+    offset rides a scalar-prefetch array; the one-sample-delay rule
+    (synth.c:526 serial order) is a per-lane select between the bank's
+    [t] and [t+1] rows.  Requires row-uniform read topology across the
+    batch (checked statically in fused._fold_tiers).
 
     ``mix`` = (b_rows, fold_k) enables the in-kernel static-pan stereo
     mix (phase 5): the step's lanes are folded into a persistent
@@ -1071,24 +1100,34 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
      dirn, cz_modes, ts_pow2) = feat
     fma = _kfma if exact else (lambda a, b, c: a * b + c)
     sub = g_lanes // 128                     # sublane rows per step (8)
+    bank_rows, f_fm, f_cz, f_am = fold if fold is not None \
+        else (0, False, False, False)
 
     def kernel(*refs):
         it = iter(refs)
         slot_sm = next(it)                   # [M] prefetch (SMEM)
         cbase_sm = next(it)                  # [1] prefetch (SMEM)
+        srow_fm_sm = next(it) if f_fm else None   # [M/1024] bank rows
+        srow_cz_sm = next(it) if f_cz else None
+        srow_am_sm = next(it) if f_am else None
         tab_ref = next(it)                   # HBM [R, 128] flat buffer
-        inc_ref = next(it)                   # fm: RAW fm-read stream; else vec inc
+        bank_ref = next(it) if fold is not None else None
+        if not fm or not f_fm:
+            inc_ref = next(it)               # fm: RAW fm-read stream; else vec inc
         if fm:
             usefm_v, mis_v = next(it), next(it)
             pinc_v, fmdep_v = next(it), next(it)
+            fmdel_v = next(it) if f_fm else None
             dir_v = next(it) if dirn else None
-        dm_ref = next(it) if (cz and czm) else None
+        dm_ref = next(it) if (cz and czm and not f_cz) else None
         if cz and czm:
             cmge_v, czdep_v = next(it), next(it)
+            czdel_v = next(it) if f_cz else None
         dmv_ref = next(it) if (cz and not czm) else None
-        amod_ref = next(it) if am_a else None
+        amod_ref = next(it) if (am_a and not f_am) else None
         if am_a:
             amge_v, amdep_a_v = next(it), next(it)
+            amdel_v = next(it) if f_am else None
         slot_v = next(it)                    # vec i32 (table_off // 32768,
                                              #          run/uniform detection)
         base_v = next(it)                    # vec i32 (FULL flat table_off)
@@ -1153,6 +1192,8 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
         tab_s = next(it)                     # VMEM (256, 128) f32
         cur = next(it)                       # SMEM (1,) i32
         sem = next(it)                       # DMA semaphore
+        mo_s = next(it) if fold is not None else None
+        #                                    # VMEM (n+1, bank_rows, 128)
 
         p = pl.program_id(0)
 
@@ -1164,6 +1205,12 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
                 # sequential grid; zero once, accumulate every step
                 accl_ref[...] = jnp.zeros(accl_ref.shape, F32)
                 accr_ref[...] = jnp.zeros(accr_ref.shape, F32)
+            if fold is not None:
+                # the whole modulator bank rides into VMEM once per
+                # block; every grid step slices its read windows from it
+                cp = pltpu.make_async_copy(bank_ref, mo_s, sem)
+                cp.start()
+                cp.wait()
 
         lo = lo_v[0]
         hi = hi_v[0]
@@ -1200,7 +1247,54 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
         # phase 2 only overwrites after phase 1 has consumed it — instead
         # of paying the exact software fma on the serial carry chain
         # (mega_ablate round 4: the walk owned 27% of stress64's wall)
-        if fm and "phase1" not in MEGA_ABLATE:
+        nsb_l = sub // 8
+
+        def bank_read(srow_sm, sb, t0, del8):
+            """Folded modulator-read chunk for sub-block ``sb``: the
+            reader's modulator columns are bank rows [r, r+8); delayed
+            lanes (reference serial-order rule) read rows [t0, t0+TC)
+            = samples t0-1..t0+TC-1 incl. the block-entry prev in row 0,
+            current lanes read rows [t0+1, t0+TC+1)."""
+            r = srow_sm[p * jnp.int32(nsb_l) + jnp.int32(sb)]
+            cur3 = mo_s[pl.ds(t0 + 1, TC), pl.ds(r, 8), :]
+            dl3 = mo_s[pl.ds(t0, TC), pl.ds(r, 8), :]
+            return jnp.where(del8[None], dl3, cur3)
+
+        do_ffm = f_fm and "phase1" not in MEGA_ABLATE
+        do_fcz = f_cz and "phase2" not in MEGA_ABLATE
+        if do_ffm or do_fcz:
+            for _sb in range(nsb_l):
+                _rows = slice(8 * _sb, 8 * (_sb + 1))
+
+                def ibody_f(q, _, sb=_sb, rows=_rows):
+                    t0 = q * jnp.int32(TC)
+                    if do_ffm:
+                        rd = bank_read(srow_fm_sm, sb, t0,
+                                       fmdel_v[0][rows] != 0)
+                        g3 = rd * fmdep[rows][None]
+                        inc3 = jnp.where(
+                            use_fm[rows][None],
+                            fma(mis[rows][None], g3, pinc[rows][None]),
+                            pinc[rows][None])
+                        if dirn:
+                            inc3 = jnp.where(dirneg[rows][None], -inc3,
+                                             inc3)
+                        idx_s[pl.ds(t0, TC), rows, :] = \
+                            jax.lax.bitcast_convert_type(inc3, I32)
+                    if do_fcz:
+                        rdc = bank_read(srow_cz_sm, sb, t0,
+                                        czdel_v[0][rows] != 0)
+                        dm3 = jnp.where(cmge_v[0][rows][None] != 0,
+                                        rdc * czdep_v[0][rows][None],
+                                        F32(1.0))
+                        # f_s is dead until the phase-3 lookup; phase 2
+                        # consumes the dm stream from it first
+                        f_s[pl.ds(t0, TC), rows, :] = dm3
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC),
+                                  ibody_f, jnp.int32(0))
+        if fm and not f_fm and "phase1" not in MEGA_ABLATE:
             def ibody(q, _):
                 t0 = q * jnp.int32(TC)
                 g3 = inc_ref[pl.ds(t0, TC)] * fmdep[None]
@@ -1255,24 +1349,29 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
 
         fin0 = fin0_v[0] if finish else jnp.zeros_like(phase0_v[0], dtype=I32)
         init = (phase0_v[0], fin0, jnp.zeros_like(fin0))
-        if "phase1" in MEGA_ABLATE:          # timing stub: frozen phase
-            ph_s[...] = jnp.broadcast_to(phase0_v[0][None], (n, sub, 128))
-            ph_e, fin_e, cnt_e = init
-            cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
-        elif unroll == 1:
-            ph_e, fin_e, cnt_e = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n),
-                                                   pbody, init)
-        else:
-            def pbodyu(q, c):
-                t0 = q * jnp.int32(unroll)
-                for u in range(unroll):
-                    c = pbody(t0 + jnp.int32(u), c)
-                return c
 
-            ph_e, fin_e, cnt_e = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(n // unroll), pbodyu, init)
-        if not finish:
-            cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
+        def walk_range(t0, t1, carry):
+            """Serial phase walk over samples [t0, t1) (static bounds)."""
+            if unroll > 1 and (t1 - t0) % unroll == 0:
+                def pbodyu(q, c):
+                    tq = jnp.int32(t0) + q * jnp.int32(unroll)
+                    for u in range(unroll):
+                        c = pbody(tq + jnp.int32(u), c)
+                    return c
+
+                return jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32((t1 - t0) // unroll), pbodyu,
+                    carry)
+            return jax.lax.fori_loop(jnp.int32(t0), jnp.int32(t1), pbody,
+                                     carry)
+
+        def walk_bound(carry, end):
+            """Per-stage alive bound after the walk reached ``end``:
+            death is monotone within a block, so a sample t < end is
+            alive iff t < min(death_index, end) — the running count."""
+            if finish:
+                return carry[2]
+            return jnp.where(act, jnp.int32(end), jnp.int32(0))
 
         # ---- phase 2: CZ warp + index clip + dead masking (chunked so
         # the vector temporaries stay a few hundred KB) ----
@@ -1302,7 +1401,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
                 cz_scales_row = _cz_scales(d_row, exact, cz_modes)
                 cz_coeffs_row = _cz_warp_coeffs(mode_row, cz_scales_row,
                                                 cz_modes)
-        def cbody(q, _):
+        def cbody(q, cnt_s):
             t0 = q * jnp.int32(TC)
             ph3 = ph_s[pl.ds(t0, TC)]                  # (TC, sub, 128)
             if cz:
@@ -1314,10 +1413,14 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
                 else:
                     phase3 = ph3 / tsz_row[None]   # native (~1 ulp)
                 if czm:
-                    # dm from the raw modulator read (synth.c:263-264)
-                    dm3 = jnp.where(cm_ge[None],
-                                    dm_ref[pl.ds(t0, TC)] * czdep[None],
-                                    F32(1.0))
+                    # dm from the raw modulator read (synth.c:263-264);
+                    # folded: prebuilt into f_s by phase 0 (bank read)
+                    if f_cz:
+                        dm3 = f_s[pl.ds(t0, TC)]
+                    else:
+                        dm3 = jnp.where(cm_ge[None],
+                                        dm_ref[pl.ds(t0, TC)]
+                                        * czdep[None], F32(1.0))
                     d3 = dist_row[None] + dm3
                     warped = _cz_warp_k(mode_row[None], ph3, d3,
                                         tsz_row[None], exact, None,
@@ -1334,17 +1437,15 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
             idx = jnp.clip(idx_f.astype(I32), jnp.int32(0), clip_row[None])
             tpos = (jax.lax.broadcasted_iota(I32, ph3.shape, 0)
                     + t0)
-            alive3 = tpos < cnt_e[None]
+            alive3 = tpos < cnt_s[None]
             idx = jnp.where(alive3, idx, jnp.int32(0))
             idx_s[pl.ds(t0, TC)] = base_row[None] + idx
             return jnp.int32(0)   # typed: x64 makes a bare 0 an i64 carry,
             # which Mosaic's convert lowering cannot handle
 
-        if "phase2" in MEGA_ABLATE:          # timing stub: index 0
-            idx_s[...] = jnp.broadcast_to(base_row[None], (n, sub, 128))
-        else:
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), cbody,
-                              jnp.int32(0))
+        def warp_range(q0, q1, cnt_s):
+            jax.lax.fori_loop(jnp.int32(q0), jnp.int32(q1),
+                              lambda q, _: cbody(q, cnt_s), jnp.int32(0))
 
         # ---- phase 3: table lookup (windowed DMA: idx_s holds GLOBAL
         # flat buffer indices, so tables of ANY size resolve here — each
@@ -1372,17 +1473,28 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
         # wrapping oscillator pays only the few rows its phase actually
         # visits in TL samples (plus one full span on the chunk that
         # wraps) instead of the whole table per step — mega_ablate
-        # round 4 put the step-wide sweep at 30% of stress64's wall
+        # round 4 put the step-wide sweep at 30% of stress64's wall.
+        # The pow-curve CZ warps (modes 6/7) scatter a short phase span
+        # across a WIDE index range, so those tiers prefer much shorter
+        # chunks: measured on stress64 (all 7 modes) 64→16 samples is
+        # 15.9→14.9 s, while mode-1-only buckets lose 7-18% at 16 —
+        # hence the per-tier static choice (env knob still overrides).
+        tl_pref = MEGA_LOOKUP_TL
+        if tl_pref == 64 and cz and (6 in cz_modes or 7 in cz_modes):
+            tl_pref = 16
         TL = n
-        if MEGA_LOOKUP_TL > 0:
-            for c in (MEGA_LOOKUP_TL, 64, 32, 16):
+        if tl_pref > 0:
+            for c in (tl_pref, 64, 32, 16):
                 if c < n and n % c == 0:
                     TL = c
                     break
 
-        def lookup_block(sb):
+        def lookup_block(sb, tc0=0, tc1=None):
             """Uniform-check + windowed lookup for sub-block ``sb`` (8
-            sublane rows = LANE_QUANTUM lanes) of this grid step."""
+            sublane rows = LANE_QUANTUM lanes), time chunks
+            [tc0, tc1) of this grid step."""
+            if tc1 is None:
+                tc1 = n // TL
             rows = slice(8 * sb, 8 * (sb + 1))
             slot_blk = slot_v[0][rows]       # (8, 128)
 
@@ -1455,7 +1567,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
             @pl.when(uniform)
             def _one_table():
                 full = jnp.ones((8, 128), jnp.bool_)
-                jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TL),
+                jax.lax.fori_loop(jnp.int32(tc0), jnp.int32(tc1),
                                   lambda tc, _: chunk(tc, full, True),
                                   jnp.int32(0))
 
@@ -1471,21 +1583,20 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
                     def _run():
                         sel8 = slot_blk == s_l
                         jax.lax.fori_loop(
-                            jnp.int32(0), jnp.int32(n // TL),
+                            jnp.int32(tc0), jnp.int32(tc1),
                             lambda tc, _: chunk(tc, sel8, False),
                             jnp.int32(0))
 
                     return jnp.int32(0)
 
-                f_s[:, rows, :] = jnp.zeros((n, 8, 128), F32)
+                f_s[pl.ds(tc0 * TL, (tc1 - tc0) * TL), rows, :] = \
+                    jnp.zeros(((tc1 - tc0) * TL, 8, 128), F32)
                 jax.lax.fori_loop(jnp.int32(0), jnp.int32(LANE_QUANTUM),
                                   lane, jnp.int32(0))
 
-        if "lookup" in MEGA_ABLATE:          # timing stub: no table DMA
-            f_s[...] = idx_s[...].astype(F32) * F32(1e-9)
-        else:
+        def lookup_range(tc0, tc1):
             for _sb in range(sub // 8):
-                lookup_block(_sb)
+                lookup_block(_sb, tc0, tc1)
 
         # ---- phase 3.5: vectorized gain precompute ----
         # The envelope (closed-form ADSR) and the stream-fed amp-mod term
@@ -1516,31 +1627,59 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
         hoist_gain = (env_a or hoist_am) and "gain" not in MEGA_ABLATE
         if hoist_gain:
 
+            def env_gain(t0, rsel, R):
+                """amp·env gain chunk for the ``rsel`` sublane rows."""
+                if not env_a:
+                    return jnp.broadcast_to(amp[rsel][None], (TC, R, 128))
+                tpos = (jax.lax.broadcasted_iota(
+                    I32, (TC, R, 128), 0) + t0)
+                tf = (cb + tpos - env_start[rsel][None]).astype(F32)
+                trf = (cb + tpos - env_relat[rsel][None]).astype(F32)
+                v = jnp.where(
+                    tf < att[rsel][None], tf / att[rsel][None],
+                    jnp.where(
+                        tf < att_dec[rsel][None],
+                        _kfma(-((tf - att[rsel][None]) / dec[rsel][None]),
+                              F32(1.0) - sus[rsel][None], F32(1.0)),
+                        jnp.where(
+                            (env_relat[rsel] == 0)[None], sus[rsel][None],
+                            jnp.where(trf < rel[rsel][None],
+                                      sus[rsel][None]
+                                      * (F32(1.0)
+                                         - trf / rel[rsel][None]),
+                                      F32(0.0)))))
+                v = jnp.where(env_act[rsel][None], v, F32(0.0))
+                env_t = jnp.where(use_env[rsel][None], v * vel[rsel][None],
+                                  F32(1.0))
+                return amp[rsel][None] * env_t
+
+        def gain_range(q0, q1):
+            if not hoist_gain:
+                return
+            if f_am:
+                # folded am stream: per-sub-block chunks read the bank
+                for _sb in range(nsb_l):
+                    _rows = slice(8 * _sb, 8 * (_sb + 1))
+
+                    def gbody_f(q, _, sb=_sb, rows=_rows):
+                        t0 = q * jnp.int32(TC)
+                        g3 = env_gain(t0, rows, 8)
+                        rd = bank_read(srow_am_sm, sb, t0,
+                                       amdel_v[0][rows] != 0)
+                        amod3 = jnp.where(am_ge[rows][None],
+                                          rd * amdep_a[rows][None],
+                                          F32(1.0))
+                        idx_s[pl.ds(t0, TC), rows, :] = \
+                            jax.lax.bitcast_convert_type(g3 * amod3, I32)
+                        return jnp.int32(0)
+
+                    jax.lax.fori_loop(jnp.int32(q0), jnp.int32(q1),
+                                      gbody_f, jnp.int32(0))
+                return
+
             def gbody(q, _):
                 t0 = q * jnp.int32(TC)
-                if env_a:
-                    tpos = (jax.lax.broadcasted_iota(
-                        I32, (TC, sub, 128), 0) + t0)
-                    tf = (cb + tpos - env_start[None]).astype(F32)
-                    trf = (cb + tpos - env_relat[None]).astype(F32)
-                    v = jnp.where(
-                        tf < att[None], tf / att[None],
-                        jnp.where(
-                            tf < att_dec[None],
-                            _kfma(-((tf - att[None]) / dec[None]),
-                                  F32(1.0) - sus[None], F32(1.0)),
-                            jnp.where(
-                                (env_relat == 0)[None], sus[None],
-                                jnp.where(trf < rel[None],
-                                          sus[None] * (F32(1.0)
-                                                       - trf / rel[None]),
-                                          F32(0.0)))))
-                    v = jnp.where(env_act[None], v, F32(0.0))
-                    env_t = jnp.where(use_env[None], v * vel[None],
-                                      F32(1.0))
-                    g3 = amp[None] * env_t
-                else:
-                    g3 = jnp.broadcast_to(amp[None], (TC, sub, 128))
+                g3 = env_gain(t0, slice(None), sub)
                 if hoist_am:
                     amod3 = jnp.where(
                         am_ge[None], amod_ref[pl.ds(t0, TC)] * amdep_a[None],
@@ -1549,7 +1688,7 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
                 idx_s[pl.ds(t0, TC)] = jax.lax.bitcast_convert_type(g3, I32)
                 return jnp.int32(0)
 
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n // TC), gbody,
+            jax.lax.fori_loop(jnp.int32(q0), jnp.int32(q1), gbody,
                               jnp.int32(0))
 
         # ---- phase 4: serial S&H + quant + biquad + env + smoother ----
@@ -1573,9 +1712,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
         zero_f = jnp.zeros_like(amp)
         zero_i = jnp.zeros_like(amp, dtype=I32)
 
-        def fbody(t, carry):
+        def fbody(t, carry, cnt_s):
             x1, x2, y1, y2, sg, hc, hv = carry
-            alive_t = t < cnt_e
+            alive_t = t < cnt_s
             f_t = jnp.where(alive_t, f_s[t], F32(0.0))
             if hold:
                 is_h = hold_on & (hc == 0)
@@ -1639,21 +1778,102 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
                  y1_v[0] if flt else zero_f, y2_v[0] if flt else zero_f,
                  sg_v[0] if sm else zero_f,
                  hc_v[0] if hold else zero_i, hv_v[0] if hold else zero_f)
-        if "phase4" in MEGA_ABLATE:          # timing stub: raw f out
-            out_ref[...] = f_s[...]
-            x1, x2, y1, y2, sg, hc, hv = finit
-        elif unroll == 1:
-            x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(n), fbody, finit)
-        else:
-            def fbodyu(q, c):
-                t0 = q * jnp.int32(unroll)
-                for u in range(unroll):
-                    c = fbody(t0 + jnp.int32(u), c)
-                return c
 
-            x1, x2, y1, y2, sg, hc, hv = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(n // unroll), fbodyu, finit)
+        def filt_range(t0, t1, carry, cnt_s):
+            """Serial S&H/quant/biquad/smoother over samples [t0, t1)."""
+            if unroll > 1 and (t1 - t0) % unroll == 0:
+                def fbodyu(q, c):
+                    tq = jnp.int32(t0) + q * jnp.int32(unroll)
+                    for u in range(unroll):
+                        c = fbody(tq + jnp.int32(u), c, cnt_s)
+                    return c
+
+                return jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32((t1 - t0) // unroll), fbodyu,
+                    carry)
+            return jax.lax.fori_loop(jnp.int32(t0), jnp.int32(t1),
+                                     lambda t, c: fbody(t, c, cnt_s),
+                                     carry)
+
+        def merged_range(s, TSG, cw, cf, cnt_f):
+            """Software-pipelined stage: walk of stage ``s`` + filter of
+            stage ``s-1`` share ONE fori — two independent latency-bound
+            recurrences per iteration, so their dependency chains
+            overlap instead of running back-to-back (mega_ablate r5:
+            walk 5.1 s + filter 2.3 s of stress64's 19.0 s wall)."""
+            tw0, tf0 = s * TSG, (s - 1) * TSG
+
+            def mstep(tl, c):
+                cw2, cf2 = c
+                cw2 = pbody(jnp.int32(tw0) + tl, cw2)
+                cf2 = fbody(jnp.int32(tf0) + tl, cf2, cnt_f)
+                return cw2, cf2
+
+            if unroll > 1 and TSG % unroll == 0:
+                def mu(q, c):
+                    tq = q * jnp.int32(unroll)
+                    for u in range(unroll):
+                        c = mstep(tq + jnp.int32(u), c)
+                    return c
+
+                return jax.lax.fori_loop(jnp.int32(0),
+                                         jnp.int32(TSG // unroll), mu,
+                                         (cw, cf))
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(TSG), mstep,
+                                     (cw, cf))
+
+        # ---- schedule ----
+        TSG = MEGA_STAGE
+        abl = MEGA_ABLATE & {"phase1", "phase2", "lookup", "gain",
+                             "phase4"}
+        staged = (TSG > 0 and not abl and TSG < n and n % TSG == 0
+                  and TSG % TC == 0 and TSG % TL == 0)
+        if not staged:
+            # sequential order (also carries the timing-ablation stubs)
+            if "phase1" in MEGA_ABLATE:      # stub: frozen phase
+                ph_s[...] = jnp.broadcast_to(phase0_v[0][None],
+                                             (n, sub, 128))
+                ph_e, fin_e, _ = init
+                cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
+            else:
+                ph_e, fin_e, cnt_e = walk_range(0, n, init)
+                if not finish:
+                    cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
+            if "phase2" in MEGA_ABLATE:      # stub: index 0
+                idx_s[...] = jnp.broadcast_to(base_row[None],
+                                              (n, sub, 128))
+            else:
+                warp_range(0, n // TC, cnt_e)
+            if "lookup" in MEGA_ABLATE:      # stub: no table DMA
+                f_s[...] = idx_s[...].astype(F32) * F32(1e-9)
+            else:
+                lookup_range(0, n // TL)
+            gain_range(0, n // TC)
+            if "phase4" in MEGA_ABLATE:      # stub: raw f out
+                out_ref[...] = f_s[...]
+                x1, x2, y1, y2, sg, hc, hv = finit
+            else:
+                x1, x2, y1, y2, sg, hc, hv = filt_range(0, n, finit,
+                                                        cnt_e)
+        else:
+            NST = n // TSG
+            cw = walk_range(0, TSG, init)
+            cnts = [walk_bound(cw, TSG)]
+            warp_range(0, TSG // TC, cnts[0])
+            lookup_range(0, TSG // TL)
+            gain_range(0, TSG // TC)
+            cf = finit
+            for s in range(1, NST):
+                cw, cf = merged_range(s, TSG, cw, cf, cnts[s - 1])
+                cnts.append(walk_bound(cw, (s + 1) * TSG))
+                warp_range(s * TSG // TC, (s + 1) * TSG // TC, cnts[s])
+                lookup_range(s * TSG // TL, (s + 1) * TSG // TL)
+                gain_range(s * TSG // TC, (s + 1) * TSG // TC)
+            x1, x2, y1, y2, sg, hc, hv = filt_range(
+                (NST - 1) * TSG, n, cf, cnts[NST - 1])
+            ph_e, fin_e, cnt_e = cw
+            if not finish:
+                cnt_e = jnp.where(act, jnp.int32(n), jnp.int32(0))
 
         # ---- phase 5: in-kernel static-pan stereo mix (see docstring) --
         if mix is not None and "mix" not in MEGA_ABLATE:
@@ -1712,16 +1932,17 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _tier_kernel_for(feat, exact, unroll, n, g_lanes, mix=None):
-    return _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix)
+def _tier_kernel_for(feat, exact, unroll, n, g_lanes, mix=None,
+                     fold=None):
+    return _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix, fold)
 
 
-def mix_rows(m, n, n_seq, exact, b_rows):
+def mix_rows(m, n, n_seq, exact, b_rows, extra=0):
     """Static in-kernel-mix eligibility mirror (see _make_tier_kernel):
     returns b_rows when the batch-chunk rows align with the step width
     _mega_sub_pad will pick, else 0.  Callers use this to decide the
     mix layout before tracing tier_pallas."""
-    sub, _ = _mega_sub_pad(m, n, n_seq, exact)
+    sub, _ = _mega_sub_pad(m, n, n_seq, exact, extra)
     ok = (b_rows >= 8 and n % 8 == 0
           and (sub % b_rows == 0 or b_rows % sub == 0))
     return b_rows if ok else 0
@@ -1730,7 +1951,8 @@ def mix_rows(m, n, n_seq, exact, b_rows):
 @functools.partial(jax.jit, static_argnames=("feat", "exact", "n",
                                              "b_rows"))
 def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
-                feat=None, exact=False, n=None, mixw=None, b_rows=0):
+                feat=None, exact=False, n=None, mixw=None, b_rows=0,
+                bank=None, srow_fm=None, srow_cz=None, srow_am=None):
     """One fused tier pass (see _make_tier_kernel).
 
     tab2: [R, 128] f32 — the stacked table buffer as flat 128-sample
@@ -1753,11 +1975,23 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
      dirn, cz_modes, ts_pow2) = feat
     m = slot.shape[0]
     assert m % LANE_QUANTUM == 0, f"lanes {m} not a LANE_QUANTUM multiple"
-    n_seq = 1 + (1 if fm else 0) + (1 if (cz and czm) else 0) \
-        + (1 if am_a else 0)          # out + per-sample mod streams
-    sub, m2 = _mega_sub_pad(m, n, n_seq, bool(exact))
+    f_fm = bank is not None and srow_fm is not None
+    f_cz = bank is not None and srow_cz is not None
+    f_am = bank is not None and srow_am is not None
+    if bank is not None:
+        bank3 = bank.reshape(n + 1, -1, 128)
+        bank_extra = bank3.size * 4          # VMEM-resident mod bank
+        fold = (bank3.shape[1], f_fm, f_cz, f_am)
+    else:
+        bank_extra = 0
+        fold = None
+    n_seq = 1 + (1 if (fm and not f_fm) else 0) \
+        + (1 if (cz and czm and not f_cz) else 0) \
+        + (1 if (am_a and not f_am) else 0)  # out + DMA'd mod streams
+    sub, m2 = _mega_sub_pad(m, n, n_seq, bool(exact), bank_extra)
     mix = None
-    if mixw is not None and mix_rows(m, n, n_seq, bool(exact), b_rows):
+    if mixw is not None and mix_rows(m, n, n_seq, bool(exact), b_rows,
+                                     bank_extra):
         mix = (b_rows, sub // b_rows if sub >= b_rows else 0)
     mr = m                            # real lanes; outputs sliced back
     if m2 > m:
@@ -1779,18 +2013,28 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         states = {k: _pad(v) for k, v in states.items()}
         if mix is not None:
             mixw = (_pad(mixw[0]), _pad(mixw[1]))  # inert lanes weigh 0
+        pad_sb = (m2 - m) // LANE_QUANTUM
+        if pad_sb:
+            # padded sub-blocks read bank row 0; their lanes are inert
+            _psb = lambda a: None if a is None else jnp.pad(a, (0, pad_sb))
+            srow_fm = _psb(srow_fm)
+            srow_cz = _psb(srow_cz)
+            srow_am = _psb(srow_am)
         m = m2
     r = m // 128
     g_lanes = sub * 128
     grid = (m // g_lanes,)
-    seq = pl.BlockSpec((n, sub, 128), lambda i, s, c: (i * 0, i, i * 0))
-    vec = pl.BlockSpec((1, sub, 128), lambda i, s, c: (i * 0, i, i * 0))
+    seq = pl.BlockSpec((n, sub, 128), lambda i, *_: (i * 0, i, i * 0))
+    vec = pl.BlockSpec((1, sub, 128), lambda i, *_: (i * 0, i, i * 0))
     wseq = lambda a: a.reshape(a.shape[0], r, 128)
     wvec = lambda a: a.reshape(1, r, 128)
     unwrap = lambda a: a.reshape(a.shape[0], m)[:, :mr]
 
     ins = [tab2]
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    if fold is not None:
+        ins.append(bank3)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
 
     def add_seq(a):
         ins.append(wseq(a))
@@ -1802,20 +2046,29 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
             in_specs.append(vec)
 
     if fm:
-        add_seq(inc)                      # raw fm-read stream
+        if not f_fm:
+            add_seq(inc)                  # raw fm-read stream
         add_vec(vecs["use_fm"], vecs["mis"], vecs["pinc"], vecs["fm_depth"])
+        if f_fm:
+            add_vec(vecs["fm_del"])
         if dirn:
             add_vec(vecs["dirneg"])
     else:
         add_vec(inc)
     if cz and czm:
-        add_seq(dm)                       # raw cz-read stream
+        if not f_cz:
+            add_seq(dm)                   # raw cz-read stream
         add_vec(vecs["cm_ge0"], vecs["cz_depth"])
+        if f_cz:
+            add_vec(vecs["cz_del"])
     elif cz:
         add_vec(dm)
     if am_a:
-        add_seq(amod)                     # raw am-read stream
+        if not f_am:
+            add_seq(amod)                 # raw am-read stream
         add_vec(vecs["am_ge0"], vecs["am_depth_a"])
+        if f_am:
+            add_vec(vecs["am_del"])
     add_vec(slot, vecs["base_off"], vecs["clip_i"], states["phase"],
             vecs["adv"], vecs["lo"], vecs["hi"], vecs["L"])
     if finish:
@@ -1876,18 +2129,22 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         # every grid step revisits block 0: the stereo accumulators stay
         # VMEM-resident for the whole call and flush once at the end
         acc_spec = pl.BlockSpec((n, mix[0], 128),
-                                lambda i, s, c: (i * 0, i * 0, i * 0))
+                                lambda i, *_: (i * 0, i * 0, i * 0))
         out_specs += [acc_spec, acc_spec]
         out_shape += [jax.ShapeDtypeStruct((n, mix[0], 128), F32)] * 2
         names += ["acc_l", "acc_r"]
 
+    prefetch = [slot, cbase]
+    for sr in (srow_fm, srow_cz, srow_am):
+        if sr is not None:
+            prefetch.append(sr)
     outs = pl.pallas_call(
         _tier_kernel_for(tuple(bool(x) for x in feat[:12])
                          + (tuple(cz_modes), bool(ts_pow2)), bool(exact),
                          UNROLL if n % UNROLL == 0 else 1, n, g_lanes,
-                         mix),
+                         mix, fold),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1899,6 +2156,8 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
                 + [pltpu.VMEM((SLOT_ROWS, 128), F32),  # table slot
                    pltpu.SMEM((1,), I32),
                    pltpu.SemaphoreType.DMA]
+                + ([pltpu.VMEM((n + 1, fold[0], 128), F32)]
+                   if fold is not None else [])       # modulator bank
             ),
         ),
         out_shape=out_shape,
@@ -1906,7 +2165,7 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(slot, cbase, *ins)
+    )(*prefetch, *ins)
     res = {}
     for name, o in zip(names, outs):
         if name == "out":

@@ -449,8 +449,8 @@ def test_mega_inkernel_mix_end_to_end(monkeypatch):
     a = render_fused(st, use_pallas=False)
     real = kernels.mix_rows
 
-    def lax_rows(m, n, n_seq, exact, b_rows):
-        sub, _ = kernels._mega_sub_pad(m, n, n_seq, exact)
+    def lax_rows(m, n, n_seq, exact, b_rows, extra=0):
+        sub, _ = kernels._mega_sub_pad(m, n, n_seq, exact, extra)
         ok = (b_rows >= 1 and n % 8 == 0
               and (sub % b_rows == 0 or b_rows % sub == 0))
         return b_rows if ok else 0

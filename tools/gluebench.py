@@ -88,10 +88,11 @@ def main():
         return wall
 
     def stub_tier(table3, slot, cbase, inc, dm, amod, vecs, states,
-                  feat=None, exact=False, n=None, mixw=None, b_rows=0):
+                  feat=None, exact=False, n=None, mixw=None, b_rows=0,
+                  bank=None, srow_fm=None, srow_cz=None, srow_am=None):
         m = slot.shape[0]
-        out = inc if feat[0] else jnp.broadcast_to(vecs["amp"][None, :],
-                                                   (n, m))
+        out = inc if (feat[0] and inc is not None) \
+            else jnp.broadcast_to(vecs["amp"][None, :], (n, m))
         res = {"phase": states["phase"],
                "cnt": jnp.full((m,), n, jnp.int32)}
         if mixw is not None and b_rows:
