@@ -266,7 +266,7 @@ def main() -> None:
                       file=sys.stderr, flush=True)
         return entry["wall_s"]
 
-    for (vp, passes, nz), group in sorted(buckets.items()):
+    for (vp, passes, _fkey), group in sorted(buckets.items()):
         n_distinct = len(group)
         # fill each bucket to a batch that amortizes per-block overheads
         # (the per-block fixed cost dominates light buckets: 0.sk-class
@@ -298,8 +298,8 @@ def main() -> None:
         whole_chunks = st.num_blocks // CHUNK
         audio = st.batch * whole_chunks * CHUNK * st.block / 44100.0
         total_audio += audio
-        # the merged-bucket feature set comes from the stacked batch (the
-        # key no longer carries it — see parallel/batch.py bucket_key)
+        # derive the recorded feature set from the stacked batch (equal
+        # to the key's Feat; avoids trusting the memoized key)
         feat = compute_feat(st)
         fstr = ",".join(k if v is True else f"{k}={list(v)}"
                         for k, v in feat._asdict().items() if v)

@@ -1046,7 +1046,7 @@ SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
 
 
 def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
-                      fold=None):
+                      fold=None, tl=None):
     """The fused tier kernel body.  ``feat`` is a 14-tuple of static
     flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish,
     direction, cz_modes, ts_pow2); stages off for the tier vanish from the
@@ -1477,11 +1477,12 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
         # The pow-curve CZ warps (modes 6/7) scatter a short phase span
         # across a WIDE index range, so those tiers prefer much shorter
         # chunks: measured on stress64 (all 7 modes) 64→16 samples is
-        # 15.9→14.9 s, while mode-1-only buckets lose 7-18% at 16 —
-        # hence the per-tier static choice (env knob still overrides).
-        tl_pref = MEGA_LOOKUP_TL
-        if tl_pref == 64 and cz and (6 in cz_modes or 7 in cz_modes):
-            tl_pref = 16
+        # 15.9→14.9 s, while mode-1-only buckets lose 7-18% at 16 and a
+        # NARROW mode-7 bucket (4 voices) reproducibly lost 27% (bench
+        # r5 regression gate) — hence the per-tier static choice, gated
+        # to wide tiers where the swept-row savings dominate the extra
+        # chunk overhead (env knob still overrides).
+        tl_pref = tl if tl is not None else MEGA_LOOKUP_TL
         TL = n
         if tl_pref > 0:
             for c in (tl_pref, 64, 32, 16):
@@ -1933,8 +1934,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
 
 @functools.lru_cache(maxsize=None)
 def _tier_kernel_for(feat, exact, unroll, n, g_lanes, mix=None,
-                     fold=None):
-    return _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix, fold)
+                     fold=None, tl=None):
+    return _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix, fold,
+                             tl)
 
 
 def mix_rows(m, n, n_seq, exact, b_rows, extra=0):
@@ -2138,11 +2140,17 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
     for sr in (srow_fm, srow_cz, srow_am):
         if sr is not None:
             prefetch.append(sr)
+    # lookup time-chunk: pow-curve warps (modes 6/7) on WIDE tiers
+    # prefer short chunks — see the kernel's TL comment
+    tl_pick = MEGA_LOOKUP_TL
+    if (tl_pick == 64 and cz and (6 in cz_modes or 7 in cz_modes)
+            and m >= 16384):
+        tl_pick = 16
     outs = pl.pallas_call(
         _tier_kernel_for(tuple(bool(x) for x in feat[:12])
                          + (tuple(cz_modes), bool(ts_pow2)), bool(exact),
                          UNROLL if n % UNROLL == 0 else 1, n, g_lanes,
-                         mix, fold),
+                         mix, fold, tl_pick),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
             grid=grid,

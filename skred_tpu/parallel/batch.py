@@ -557,21 +557,18 @@ def pack_stacked(st: StackedTimelines, pack: bool = True,
 
 def bucket_key(tl) -> tuple:
     """Specialization bucket for a fused-capable timeline: (packed voice
-    count, fixed-point passes, noise marker).  Scripts sharing a key
-    render in one compiled program; bench.py, tools/tpu_parity.py
-    --bucketed and render_batch all group by this so validation runs the
-    exact programs the bench times.
+    count, fixed-point passes, static feature set).  Scripts sharing a
+    key render in one specialized compiled program; bench.py,
+    tools/tpu_parity.py --bucketed and render_batch all group by this so
+    validation runs the exact programs the bench times.
 
-    Feature flags are NOT part of the key: per-bucket specialization
-    still happens (compute_feat derives the static stage set from the
-    stacked batch), but scripts of the same shape class share one
-    program with the union feature set.  A compiled-in stage a script
-    doesn't use costs a few percent on that script's lanes; one fewer
-    program launch + compile saves far more — the corpus bench was
-    launch-bound, with 20+ buckets under 10% of either roofline
-    (VERDICT r4 item 5).  Noise-alt voices stay a separate bucket: a
-    noise lane gates its whole tier off the megakernel, which would
-    de-specialize every script merged with it.
+    Feature flags stay IN the key — round 5 measured the alternative
+    (merge same-(voices, passes) classes, union feature set) and it
+    LOST: mixed scripts break same-table slot uniformity (per-slot-run
+    lookups), break row-uniform read topology (modulator-bank fold
+    ineligible), and force every script through the union stage set —
+    the merged corpus bench read 5,446x aggregate vs 10,387x split
+    (PERF.md round 5, "bucket-merging rejection").
 
     The single-row pack is memoized on the timeline object (the pack is
     O(segments·voices) Python work; large corpora call this per script
@@ -582,8 +579,7 @@ def bucket_key(tl) -> tuple:
     from skred_tpu.engine.fused import compute_feat
 
     st1 = pack_stacked(stack_timelines([tl]))
-    key = (st1.params["amp"].shape[-1], tl.fused_passes,
-           "noise" if compute_feat(st1).noise else "")
+    key = (st1.params["amp"].shape[-1], tl.fused_passes, compute_feat(st1))
     tl._bucket_key = key
     return key
 
