@@ -897,7 +897,9 @@ def _mega_pass(carry, p, counts, table_buffer, exact, feat, N, B, V_,
         + (1 if (feat.cz and feat.czm and "cz" not in srows) else 0) \
         + (1 if (feat.am and "am" not in srows) else 0)
     bank_extra = bank.size * 4 if bank is not None else 0
+    import os as _os
     mix_on = (mixw is not None and b_rows > 0
+              and _os.environ.get("SKRED_MEGA_MIX", "1") != "0"
               and K.mix_rows(V_ * B, N, n_seq_k, bool(exact), b_rows,
                              bank_extra))
     kmixw = (f32v(mixw[0]), f32v(mixw[1])) if mix_on else None
@@ -1513,10 +1515,13 @@ def _fold_tiers(st, fts, use_pallas):
     bulk of the heavy buckets' measured skeleton floor (mega_ablate
     round 5: 8.5 s of stress64's 19.0 s wall).  Reference semantics
     folded: synth.c:548-586 serial-order modulator reads."""
+    import os as _os
+
     from skred_tpu.engine import kernels as K
 
     if (not use_pallas or not st.tiers or len(st.tiers) <= 1
-            or fts is None or K.MEGA_ALIAS or not K.MEGA):
+            or fts is None or K.MEGA_ALIAS or not K.MEGA
+            or _os.environ.get("SKRED_MEGA_FOLD", "1") == "0"):
         return None
     B = st.batch
     if B % 1024:
