@@ -466,3 +466,78 @@ def test_mega_inkernel_mix_end_to_end(monkeypatch):
         jax.clear_caches()
     d = float(np.abs(a - b).max())
     assert d < 1e-5, f"in-kernel mix end-to-end maxdiff {d}"
+
+
+def test_mega_fold_segment_varying_edges():
+    """Modulator-bank fold with MID-RENDER graph rewiring: the fm edge
+    retargets (v0 reads v1, then v2) and depths change at a segment
+    boundary.  The bank-row maps are scalar-prefetched per block from
+    the gathered segment params, so the fold must track the rewire
+    exactly; eligibility only requires row-uniformity across the BATCH
+    (fused._fold_tiers), not across segments.  1024 replicated rows on
+    the interpreter vs the pure-XLA path."""
+    from skred_tpu.engine.fused import (_feat_tiers, _fold_tiers,
+                                        render_fused)
+    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+
+    bank = WaveBank()
+    lines = [
+        "v1 w2 f2 a2",                     # LFO A (tier 0)
+        "v2 w4 f3 a2",                     # LFO B (tier 0)
+        "v0 w0 f330 a3 F1,0.5 "            # v0 fm-reads v1 ...
+        "~.06 v0 F2,0.8 "                  # ... then rewires to v2
+        "~.06 v0 F1,0.2",                  # ... and back, new depth
+    ]
+    tls = [compile_script(lines, 0.2, bank=bank, script_dir=REF)
+           for _ in range(1024)]
+    st = pack_stacked(stack_timelines(tls))
+    assert st.params["amp"].shape[1] >= 3, "expected >= 3 segments"
+    ftl = _fold_tiers(st, _feat_tiers(st), True)
+    assert ftl is not None and ftl[-1], f"fold did not engage: {ftl}"
+    a = render_fused(st, use_pallas=False)
+    old = kernels.INTERPRET
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        b = render_fused(st, use_pallas=True)
+    finally:
+        kernels.INTERPRET = old
+        jax.clear_caches()
+    d = float(np.abs(a - b).max())
+    assert d < 1e-5, f"fold segment-rewire maxdiff {d}"
+
+
+def test_mega_fold_end_to_end():
+    """Modulator-bank fold across all three stream kinds at once: a
+    delayed fm edge (reader index < modulator index), an am edge and a
+    cz-mod edge all reading the same tier-0 LFO.  1024 replicated rows
+    (the fold's minimum batch) on the interpreter vs the pure-XLA path;
+    the only allowed difference is the in-kernel mix's reassociated
+    cross-voice sum (ULP-level)."""
+    from skred_tpu.engine.fused import (_feat_tiers, _fold_tiers,
+                                        render_fused)
+    from skred_tpu.parallel.batch import pack_stacked, stack_timelines
+
+    bank = WaveBank()
+    lines = [
+        "v0 w0 f330 a3 F1,0.5",          # fm read of v1 (delayed)
+        "v1 w2 f2 a2",                   # LFO modulator (tier 0)
+        "v2 w0 f220 a3 A1,0.4",          # am read of v1
+        "v3 w4 f110 a3 c1,0.5 C1,0.3",   # cz-mod read of v1
+    ]
+    tls = [compile_script(lines, 0.05, bank=bank, script_dir=REF)
+           for _ in range(1024)]
+    st = pack_stacked(stack_timelines(tls))
+    ftl = _fold_tiers(st, _feat_tiers(st), True)
+    assert ftl is not None and ftl[-1], f"fold did not engage: {ftl}"
+    a = render_fused(st, use_pallas=False)
+    old = kernels.INTERPRET
+    kernels.INTERPRET = True
+    jax.clear_caches()
+    try:
+        b = render_fused(st, use_pallas=True)
+    finally:
+        kernels.INTERPRET = old
+        jax.clear_caches()
+    d = float(np.abs(a - b).max())
+    assert d < 1e-5, f"fold end-to-end maxdiff {d}"
