@@ -60,13 +60,20 @@ class BucketCost:
         fr_step = step_s / t
         bound = max(("hbm", fr_bw), ("vpu", fr_fl),
                     ("lut-grid-steps", fr_step), key=lambda kv: kv[1])
+        # when no modeled resource reaches 30% of its roof, the bucket
+        # is really limited by what the model does NOT see — serial-loop
+        # latency, per-call launch/copy overhead, chunk dispatch — and
+        # naming the largest single-digit fraction would overstate how
+        # close to the roof it runs (VERDICT r4 weak #5; confirmed by
+        # the device traces in PROFILE_ROOFLINE.json)
+        label = bound[0] if bound[1] >= 0.30 else "latency/overhead"
         return {
             "hbm_gb_s": round(bw / 1e9, 1),
             "pct_hbm_peak": round(100 * fr_bw, 1),
             "vpu_gflop_s": round(fl / 1e9, 1),
             "pct_vpu_peak": round(100 * fr_fl, 1),
             "lut_step_pct_wall": round(100 * fr_step, 1),
-            "bound": bound[0],
+            "bound": label,
         }
 
 
