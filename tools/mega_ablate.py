@@ -27,7 +27,8 @@ CONFIGS = [
     ("no lookup (table DMA)", "lookup"),
     ("no gain (env precompute)", "gain"),
     ("no phase4 (serial filter)", "phase4"),
-    ("skeleton (all stubbed)", "phase1,phase2,lookup,gain,phase4"),
+    ("no mix (stereo acc)", "mix"),
+    ("skeleton (all stubbed)", "phase1,phase2,lookup,gain,phase4,mix"),
 ]
 
 
