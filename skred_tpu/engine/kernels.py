@@ -204,6 +204,33 @@ MEGA_VMEM_BUDGET = int(os.environ.get("SKRED_MEGA_VMEM",
 #                                       leave headroom under the 128 MiB
 #                                       v5e VMEM for Mosaic temporaries
 
+MEGA_PACK = os.environ.get("SKRED_MEGA_PACK", "0") != "0"
+#                          1 = ship the ~40 per-lane parameter vectors
+#                          of each tier call as TWO stacked arrays (one
+#                          per dtype) instead of ~40 separate operands.
+#                          The device traces (PROFILE_ROOFLINE.json)
+#                          show each [1, r, 128] operand staged through
+#                          an S(1) copy per call — more device time
+#                          than the kernels themselves on every
+#                          profiled bucket.  Default OFF this round
+#                          (flipping it invalidates every compiled
+#                          bucket program); A/B via this knob.
+
+
+class _PackRow:
+    """Shim giving a packed parameter row the (1, sub, 128)-ref
+    interface the tier kernel body expects (``x[0]`` → (sub, 128))."""
+
+    __slots__ = ("ref", "j")
+
+    def __init__(self, ref, j):
+        self.ref = ref
+        self.j = j
+
+    def __getitem__(self, idx):
+        return self.ref[self.j]
+
+
 MEGA_STAGE = int(os.environ.get("SKRED_MEGA_STAGE", "0"))
 #                          software-pipeline stage length (samples): the
 #                          serial walk of stage s and the serial filter
@@ -1046,7 +1073,7 @@ SLOT_ROWS = SLOT_MED // 128   # unified 32768-sample slot, 256 lane-rows
 
 
 def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
-                      fold=None, tl=None):
+                      fold=None, tl=None, pack=None):
     """The fused tier kernel body.  ``feat`` is a 14-tuple of static
     flags (fm, cz, czm, env, flt, sm, hold, quant, am, am_self, finish,
     direction, cz_modes, ts_pow2); stages off for the tier vanish from the
@@ -1112,59 +1139,76 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
         srow_am_sm = next(it) if f_am else None
         tab_ref = next(it)                   # HBM [R, 128] flat buffer
         bank_ref = next(it) if fold is not None else None
-        if not fm or not f_fm:
-            inc_ref = next(it)               # fm: RAW fm-read stream; else vec inc
+        if pack is not None:
+            # packed per-lane parameters: two operands replace ~40,
+            # so the per-call S(1) staging copies collapse to two
+            pf_ref = next(it)
+            pi_ref = next(it)
+            _ki = [0]
+
+            def nv():
+                dt, row = pack[_ki[0]]
+                _ki[0] += 1
+                return _PackRow(pf_ref if dt == "f" else pi_ref, row)
+        else:
+            def nv():
+                return next(it)
+
+        if not fm:
+            inc_ref = nv()                   # vec constant increment
+        elif not f_fm:
+            inc_ref = next(it)               # RAW fm-read stream
         if fm:
-            usefm_v, mis_v = next(it), next(it)
-            pinc_v, fmdep_v = next(it), next(it)
-            fmdel_v = next(it) if f_fm else None
-            dir_v = next(it) if dirn else None
+            usefm_v, mis_v = nv(), nv()
+            pinc_v, fmdep_v = nv(), nv()
+            fmdel_v = nv() if f_fm else None
+            dir_v = nv() if dirn else None
         dm_ref = next(it) if (cz and czm and not f_cz) else None
         if cz and czm:
-            cmge_v, czdep_v = next(it), next(it)
-            czdel_v = next(it) if f_cz else None
-        dmv_ref = next(it) if (cz and not czm) else None
+            cmge_v, czdep_v = nv(), nv()
+            czdel_v = nv() if f_cz else None
+        dmv_ref = nv() if (cz and not czm) else None
         amod_ref = next(it) if (am_a and not f_am) else None
         if am_a:
-            amge_v, amdep_a_v = next(it), next(it)
-            amdel_v = next(it) if f_am else None
-        slot_v = next(it)                    # vec i32 (table_off // 32768,
+            amge_v, amdep_a_v = nv(), nv()
+            amdel_v = nv() if f_am else None
+        slot_v = nv()                        # vec i32 (table_off // 32768,
                                              #          run/uniform detection)
-        base_v = next(it)                    # vec i32 (FULL flat table_off)
-        clip_v = next(it)                    # vec i32 (table_size-1 >= 0)
-        phase0_v = next(it)
-        adv_v = next(it)
-        lo_v, hi_v, l_v = next(it), next(it), next(it)
+        base_v = nv()                        # vec i32 (FULL flat table_off)
+        clip_v = nv()                        # vec i32 (table_size-1 >= 0)
+        phase0_v = nv()
+        adv_v = nv()
+        lo_v, hi_v, l_v = nv(), nv(), nv()
         if finish:
-            fin0_v, osn_v, osh_v = next(it), next(it), next(it)
-        act_v = next(it)
+            fin0_v, osn_v, osh_v = nv(), nv(), nv()
+        act_v = nv()
         if cz:
-            czmode_v, czdist_v, tsize_v = next(it), next(it), next(it)
+            czmode_v, czdist_v, tsize_v = nv(), nv(), nv()
         if env_a:
-            use_env_v, env_act_v = next(it), next(it)
-            env_start_v, env_relat_v = next(it), next(it)
-            att_v, dec_v, sus_v, rel_v, vel_v = (next(it), next(it),
-                                                 next(it), next(it), next(it))
-        amp_v = next(it)
+            use_env_v, env_act_v = nv(), nv()
+            env_start_v, env_relat_v = nv(), nv()
+            att_v, dec_v, sus_v, rel_v, vel_v = (nv(), nv(), nv(), nv(),
+                                                 nv())
+        amp_v = nv()
         if flt:
-            b0_v, b1_v, b2_v = next(it), next(it), next(it)
-            na1_v, na2_v, uflt_v = next(it), next(it), next(it)
+            b0_v, b1_v, b2_v = nv(), nv(), nv()
+            na1_v, na2_v, uflt_v = nv(), nv(), nv()
         if sm:
-            usm_v, smo_v = next(it), next(it)
+            usm_v, smo_v = nv(), nv()
         if am_self_f:
-            amself_v, amdep_v = next(it), next(it)
+            amself_v, amdep_v = nv(), nv()
         if hold:
-            holdon_v, hmax_v = next(it), next(it)
+            holdon_v, hmax_v = nv(), nv()
         if quant:
-            qon_v, lev_v, ilev_v = next(it), next(it), next(it)
+            qon_v, lev_v, ilev_v = nv(), nv(), nv()
         if flt:
-            x1_v, x2_v, y1_v, y2_v = next(it), next(it), next(it), next(it)
+            x1_v, x2_v, y1_v, y2_v = nv(), nv(), nv(), nv()
         if sm:
-            sg_v = next(it)
+            sg_v = nv()
         if hold:
-            hc_v, hv_v = next(it), next(it)
+            hc_v, hv_v = nv(), nv()
         if mix is not None:
-            wl_v, wr_v = next(it), next(it)
+            wl_v, wr_v = nv(), nv()
         out_ref = next(it)
         phend_ref = next(it)
         cnt_ref = next(it)
@@ -1934,9 +1978,9 @@ def _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix=None,
 
 @functools.lru_cache(maxsize=None)
 def _tier_kernel_for(feat, exact, unroll, n, g_lanes, mix=None,
-                     fold=None, tl=None):
+                     fold=None, tl=None, pack=None):
     return _make_tier_kernel(feat, exact, unroll, n, g_lanes, mix, fold,
-                             tl)
+                             tl, pack)
 
 
 def mix_rows(m, n, n_seq, exact, b_rows, extra=0):
@@ -2042,10 +2086,21 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         ins.append(wseq(a))
         in_specs.append(seq)
 
+    pack_f, pack_i, pack_order = [], [], []
+
     def add_vec(*arrs):
         for a in arrs:
-            ins.append(wvec(a[None, :]))
-            in_specs.append(vec)
+            if MEGA_PACK:
+                # packed-parameter mode: collect rows, ship two arrays
+                if a.dtype == jnp.int32:
+                    pack_order.append(("i", len(pack_i)))
+                    pack_i.append(a)
+                else:
+                    pack_order.append(("f", len(pack_f)))
+                    pack_f.append(a)
+            else:
+                ins.append(wvec(a[None, :]))
+                in_specs.append(vec)
 
     if fm:
         if not f_fm:
@@ -2103,6 +2158,21 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
     if mix is not None:
         add_vec(mixw[0], mixw[1])
 
+    pack = None
+    if MEGA_PACK and pack_order:
+        pos = 1 + (1 if fold is not None else 0)
+        pf = (jnp.stack(pack_f) if pack_f
+              else jnp.zeros((1, m), F32)).reshape(-1, r, 128)
+        pi = (jnp.stack(pack_i) if pack_i
+              else jnp.zeros((1, m), I32)).reshape(-1, r, 128)
+        ins.insert(pos, pf)
+        ins.insert(pos + 1, pi)
+        in_specs.insert(pos, pl.BlockSpec(
+            (pf.shape[0], sub, 128), lambda i, *_: (i * 0, i, i * 0)))
+        in_specs.insert(pos + 1, pl.BlockSpec(
+            (pi.shape[0], sub, 128), lambda i, *_: (i * 0, i, i * 0)))
+        pack = tuple(pack_order)
+
     sds = lambda nn, dt: jax.ShapeDtypeStruct((nn, r, 128), dt)
     out_specs = [seq, vec, vec]
     out_shape = [sds(n, F32), sds(1, F32), sds(1, I32)]   # out, ph_end, cnt
@@ -2150,7 +2220,7 @@ def tier_pallas(tab2, slot, cbase, inc, dm, amod, vecs, states,
         _tier_kernel_for(tuple(bool(x) for x in feat[:12])
                          + (tuple(cz_modes), bool(ts_pow2)), bool(exact),
                          UNROLL if n % UNROLL == 0 else 1, n, g_lanes,
-                         mix, fold, tl_pick),
+                         mix, fold, tl_pick, pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
             grid=grid,
